@@ -1,0 +1,498 @@
+"""NeRF renderers: ray rendering and full-image rendering for both model
+generations, as pure-functional JAX with explicit PRNG keys.
+
+TPU-first design notes (vs. the reference ``/root/reference/nerf/model.py``):
+
+* ``render_rays`` is one fused jitted graph per config — sampling, encoding,
+  MLP and compositing never round-trip to host (the reference interleaves
+  Python).
+* ``render_image`` replaces the reference's sequential Python chunk loop
+  (``model.py:750-761``) with a static-shape ``lax.map`` over ray tiles:
+  rays are padded to a multiple of the tile size, the whole map compiles
+  once per (H, W, tile) shape, and tiles can be sharded over a device mesh.
+* Randomness (stratified jitter at ``model.py:432``, density noise at
+  ``model.py:652-654``) is threaded through explicit keys.
+
+``MipNeRF`` mirrors HEAD semantics (``model.py:596-668``) including the
+vestigial stage axis in its outputs; ``ClassicNeRF`` implements the v1.2
+generation (SURVEY.md §2.3): near/far stratified coarse sampling, optional
+inverse-CDF hierarchical fine sampling, view-conditioned color, optional
+latent conditioning (conditional NeRF).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.config import ClassicNeRFConfig, MipNeRFConfig, RenderConfig
+from nerf_tpu.models import mlp as mlp_lib
+from nerf_tpu.ops import cameras, compositing, encoding, sampling
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+class RenderOutput(NamedTuple):
+    """Per-ray render results.
+
+    ``rgb`` carries a stage axis ``[..., num_stages, 3]`` mirroring the
+    reference contract (stacked at ``model.py:667``; loss sums stages, eval
+    takes the last).  Extras are framework additions.
+    """
+
+    rgb: Array
+    segmentation: Optional[Array] = None
+    depth: Optional[Array] = None
+    acc: Optional[Array] = None
+
+
+def _maybe_add_density_noise(
+    key: Optional[jax.Array], density: Array, std: float
+) -> Array:
+    """Gaussian density-logit noise (reference ``model.py:652-654``)."""
+    if std == 0.0 or key is None:
+        return density
+    return density + jax.random.normal(key, density.shape, density.dtype) * std
+
+
+# ---------------------------------------------------------------------------
+# Classic (v1.2) renderer
+# ---------------------------------------------------------------------------
+
+
+class ClassicNeRF:
+    """The v1.2-generation model: classic PE + 8-layer view-conditioned MLP
+    with stratified coarse and inverse-CDF fine sampling."""
+
+    def __init__(self, cfg: ClassicNeRFConfig):
+        self.cfg = cfg
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        return mlp_lib.init_classic_mlp(key, self.cfg, dtype)
+
+    # -- encoders ----------------------------------------------------------
+
+    def encode_position(
+        self, x: Array, states_x: Optional[Array] = None
+    ) -> Array:
+        """Classic frequency encoding of positions (+ optional latent state).
+
+        Latent conditioning appends the per-scene state scalars to the xyz
+        scalars before encoding (``density_inputs = 3 + state_dim``,
+        reference ``train_conditional_nerf.py:103-104``).
+        """
+        cfg = self.cfg
+        if states_x is not None and states_x.shape[-1] > 0:
+            states_x = jnp.broadcast_to(
+                states_x, x.shape[:-1] + states_x.shape[-1:]
+            )
+            x = jnp.concatenate([x, states_x], axis=-1)
+        scales = encoding.bbox_frequency_scales(
+            cfg.x_positional_encoding_size, cfg.normalize_position, x.dtype
+        )
+        return encoding.frequency_encoding(x, scales)
+
+    def encode_direction(
+        self, d: Array, states_d: Optional[Array] = None
+    ) -> Array:
+        cfg = self.cfg
+        if states_d is not None and states_d.shape[-1] > 0:
+            states_d = jnp.broadcast_to(
+                states_d, d.shape[:-1] + states_d.shape[-1:]
+            )
+            d = jnp.concatenate([d, states_d], axis=-1)
+        scales = encoding.bbox_frequency_scales(
+            cfg.d_positional_encoding_size, cfg.direction_bound, d.dtype
+        )
+        return encoding.frequency_encoding(d, scales)
+
+    # -- core evaluation ---------------------------------------------------
+
+    def forward(
+        self,
+        params: Params,
+        rays_o: Array,
+        rays_d: Array,
+        t_vals: Array,
+        states_x: Optional[Array] = None,
+        states_d: Optional[Array] = None,
+    ) -> Tuple[Array, Array, Array]:
+        """Evaluate density/color at ``o + t*d`` for every sample.
+
+        Returns ``(points [..., S, 3], density [..., S, 1],
+        color_logits [..., S, C])``.
+        """
+        points = (
+            rays_o[..., None, :] + rays_d[..., None, :] * t_vals[..., :, None]
+        )
+        x_enc = self.encode_position(
+            points,
+            None if states_x is None else states_x[..., None, :],
+        )
+        d_enc = None
+        if self.cfg.use_viewdirs:
+            dirs = jnp.broadcast_to(rays_d[..., None, :], points.shape)
+            d_enc = self.encode_direction(
+                dirs,
+                None if states_d is None else states_d[..., None, :],
+            )
+        density, color = mlp_lib.apply_classic_mlp(params, self.cfg, x_enc, d_enc)
+        return points, density, color
+
+    def _render_stage(
+        self,
+        params: Params,
+        noise_key: Optional[jax.Array],
+        rays_o: Array,
+        rays_d: Array,
+        t_vals: Array,
+        states_x: Optional[Array],
+        states_d: Optional[Array],
+        density_noise_std: float,
+    ) -> Tuple[Array, Array, Array]:
+        """One coarse or fine pass: evaluate, composite. Returns
+        ``(rgb, weights [..., S, 1], depth)``."""
+        points, density, color = self.forward(
+            params, rays_o, rays_d, t_vals, states_x, states_d
+        )
+        density = _maybe_add_density_noise(noise_key, density, density_noise_std)
+        weights = compositing.weights_from_density(
+            density, compositing.distances_from_tvals(t_vals, rays_d)
+        )
+        rgb = compositing.composite_rgb(weights, color)
+        depth = compositing.composite_depth(weights, t_vals)
+        return rgb, weights, depth
+
+    def render_rays(
+        self,
+        params: Params,
+        key: Optional[jax.Array],
+        rays_o: Array,
+        rays_d: Array,
+        render: RenderConfig,
+        states_x: Optional[Array] = None,
+        states_d: Optional[Array] = None,
+    ) -> RenderOutput:
+        """Render a batch of rays: stratified coarse pass plus optional
+        inverse-CDF hierarchical fine pass (shared weights across stages, as
+        the single unprefixed block set in ``examples/nerf.pth`` implies).
+        """
+        if key is not None:
+            k_strat, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
+        else:
+            k_strat = k_noise_c = k_pdf = k_noise_f = None
+
+        batch_shape = rays_o.shape[:-1]
+        t_coarse = sampling.sample_linear(
+            k_strat,
+            batch_shape,
+            render.num_coarse_samples,
+            render.near,
+            render.far,
+            randomly_sample=render.randomly_sample,
+            dtype=rays_o.dtype,
+        )
+        rgb_c, weights_c, depth_c = self._render_stage(
+            params, k_noise_c, rays_o, rays_d, t_coarse,
+            states_x, states_d, render.density_noise_std,
+        )
+
+        stages = [rgb_c]
+        weights, t_vals, depth = weights_c, t_coarse, depth_c
+
+        if render.num_fine_samples > 0:
+            t_mids = 0.5 * (t_coarse[..., 1:] + t_coarse[..., :-1])
+            w_bins = jax.lax.stop_gradient(weights_c[..., 1:-1, 0])
+            t_fine = sampling.sample_pdf(
+                k_pdf,
+                t_mids,
+                w_bins,
+                render.num_fine_samples,
+                randomly_sample=render.randomly_sample,
+            )
+            t_all = sampling.merge_samples(t_coarse, t_fine)
+            rgb_f, weights_f, depth_f = self._render_stage(
+                params, k_noise_f, rays_o, rays_d, t_all,
+                states_x, states_d, render.density_noise_std,
+            )
+            stages.append(rgb_f)
+            weights, t_vals, depth = weights_f, t_all, depth_f
+
+        return RenderOutput(
+            rgb=jnp.stack(stages, axis=-2),
+            depth=depth,
+            acc=compositing.composite_acc(weights),
+        )
+
+    def render_image(
+        self,
+        params: Params,
+        key: Optional[jax.Array],
+        camera_o: Array,
+        camera_r: Array,
+        image_h: int,
+        image_w: int,
+        focal_length: float,
+        render: RenderConfig,
+        states_x: Optional[Array] = None,
+        states_d: Optional[Array] = None,
+    ) -> Array:
+        """Render full images ``[B, H, W, C]``, tiled on-chip via ``lax.map``.
+
+        Replaces the reference's host-side chunk loop (``model.py:750-761``)
+        — the finest stage per ray is kept, matching ``x[:, -1]`` at
+        ``model.py:757``.
+        """
+        def per_tile(args):
+            tile_o, tile_d, tile_sx, tile_sd, tile_key = args
+            out = self.render_rays(
+                params, tile_key, tile_o, tile_d, render, tile_sx, tile_sd
+            )
+            return out.rgb[..., -1, :]
+
+        rgb = _tiled_over_rays(
+            per_tile,
+            key,
+            camera_o,
+            camera_r,
+            image_h,
+            image_w,
+            focal_length,
+            render.rays_per_tile,
+            self.cfg.color_outputs,
+            states_x,
+            states_d,
+        )
+        return rgb
+
+
+# ---------------------------------------------------------------------------
+# Mip (HEAD) renderer
+# ---------------------------------------------------------------------------
+
+
+class MipNeRF:
+    """The HEAD-generation model: IPE cone casting, log-spaced bbox sampling,
+    density + RGB + segmentation heads (reference ``model.py:471-668``)."""
+
+    def __init__(self, cfg: MipNeRFConfig):
+        self.cfg = cfg
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        return mlp_lib.init_mip_mlp(key, self.cfg, dtype)
+
+    def integrated_pe(
+        self, rays_o: Array, rays_d: Array, t_vals: Array
+    ) -> Tuple[Array, Array, Array]:
+        """Cone-cast + IPE featurize (reference ``model.py:544-551``)."""
+        cfg = self.cfg
+        r_dot = 1.0 / (math.sqrt(3.0) * cfg.focal_length)
+        means, covs = encoding.cast_rays(
+            t_vals, rays_o, rays_d, r_dot, cfg.ray_shape
+        )
+        features = encoding.integrated_pos_enc(
+            means, covs, cfg.min_deg, cfg.max_deg
+        )
+        return means, covs, features
+
+    def forward(
+        self,
+        params: Params,
+        rays_o: Array,
+        rays_d: Array,
+        t_vals: Array,
+        states_x: Optional[Array] = None,
+        states_d: Optional[Array] = None,
+    ) -> Tuple[Array, Array, Array, Array]:
+        """Mirror of reference ``NeRF.forward`` (``model.py:553-594``):
+        S fencepost t-values produce S-1 interval Gaussians.  ``states_*``
+        are accepted and ignored, matching HEAD behavior.
+        """
+        del states_x, states_d
+        means, _, features = self.integrated_pe(rays_o, rays_d, t_vals)
+        density, color, segmentation = mlp_lib.apply_mip_mlp(
+            params, self.cfg, features
+        )
+        return means, density, color, segmentation
+
+    def render_rays(
+        self,
+        params: Params,
+        key: Optional[jax.Array],
+        rays_o: Array,
+        rays_d: Array,
+        render: RenderConfig,
+        states_x: Optional[Array] = None,
+        states_d: Optional[Array] = None,
+    ) -> RenderOutput:
+        """Mirror of reference ``NeRF.render_rays`` (``model.py:596-668``),
+        including the single-entry stage axis on rgb/segmentation outputs."""
+        if key is not None:
+            k_strat, k_noise = jax.random.split(key)
+        else:
+            k_strat = k_noise = None
+
+        t_vals = sampling.sample_log_bbox(
+            k_strat,
+            rays_o.shape[:-1],
+            render.num_coarse_samples,
+            self.cfg.bbox_diagonal,
+            randomly_sample=render.randomly_sample,
+            dtype=rays_o.dtype,
+        )
+        points, density, color, segmentation = self.forward(
+            params, rays_o, rays_d, t_vals, states_x, states_d
+        )
+        density = _maybe_add_density_noise(
+            k_noise, density, render.density_noise_std
+        )
+        weights = compositing.compositing_weights(points, density)
+        rgb = compositing.composite_rgb(weights, color)
+        seg = compositing.composite_segmentation(weights, segmentation)
+        # Interval midpoints give the depth estimate for the S-1 intervals.
+        t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+        return RenderOutput(
+            rgb=rgb[..., None, :],
+            segmentation=seg[..., None, :],
+            depth=compositing.composite_depth(weights, t_mids),
+            acc=compositing.composite_acc(weights),
+        )
+
+    def render_image(
+        self,
+        params: Params,
+        key: Optional[jax.Array],
+        camera_o: Array,
+        camera_r: Array,
+        image_h: int,
+        image_w: int,
+        focal_length: float,
+        render: RenderConfig,
+        states_x: Optional[Array] = None,
+        states_d: Optional[Array] = None,
+    ) -> Tuple[Array, Array]:
+        """Full-image render: ``([B,H,W,3], [B,H,W,num_classes])``.
+
+        Mirrors reference ``model.py:670-770`` but tiled under ``jit``.
+        """
+        cfg = self.cfg
+
+        def per_tile(args):
+            tile_o, tile_d, tile_sx, tile_sd, tile_key = args
+            out = self.render_rays(
+                params, tile_key, tile_o, tile_d, render, tile_sx, tile_sd
+            )
+            return jnp.concatenate(
+                [out.rgb[..., -1, :], out.segmentation[..., -1, :]], axis=-1
+            )
+
+        both = _tiled_over_rays(
+            per_tile,
+            key,
+            camera_o,
+            camera_r,
+            image_h,
+            image_w,
+            focal_length,
+            render.rays_per_tile,
+            cfg.color_outputs + cfg.segmentation_outputs,
+            states_x,
+            states_d,
+        )
+        return both[..., : cfg.color_outputs], both[..., cfg.color_outputs :]
+
+
+# ---------------------------------------------------------------------------
+# Shared full-image tiling
+# ---------------------------------------------------------------------------
+
+
+def _tiled_over_rays(
+    per_tile_fn,
+    key: Optional[jax.Array],
+    camera_o: Array,
+    camera_r: Array,
+    image_h: int,
+    image_w: int,
+    focal_length: float,
+    rays_per_tile: int,
+    out_channels: int,
+    states_x: Optional[Array],
+    states_d: Optional[Array],
+) -> Array:
+    """Generate the world-space ray grid, pad rays to a tile multiple, and
+    ``lax.map`` the per-tile renderer over static-shape tiles.
+
+    This is the TPU replacement for the reference's Python list-comprehension
+    chunking (``model.py:750-761``): one compiled graph, sequential tiles
+    bound VMEM/HBM footprint, and per-tile PRNG keys keep stochastic renders
+    reproducible.
+    """
+    rays_o, rays_d = cameras.pose_to_rays(
+        camera_o, camera_r, image_h, image_w, focal_length
+    )
+    batch = rays_o.shape[0]
+    n_rays = batch * image_h * image_w
+    rays_o = rays_o.reshape(n_rays, 3)
+    rays_d = rays_d.reshape(n_rays, 3)
+
+    def expand_states(states):
+        if states is None:
+            return None
+        states = jnp.broadcast_to(
+            states[:, None, :], (batch, image_h * image_w, states.shape[-1])
+        )
+        return states.reshape(n_rays, states.shape[-1])
+
+    states_x = expand_states(states_x)
+    states_d = expand_states(states_d)
+
+    num_tiles = max(1, -(-n_rays // rays_per_tile))
+    padded = num_tiles * rays_per_tile
+    pad = padded - n_rays
+
+    def pad_rays(x):
+        return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+    tiles_o = pad_rays(rays_o).reshape(num_tiles, rays_per_tile, 3)
+    tiles_d = pad_rays(rays_d).reshape(num_tiles, rays_per_tile, 3)
+    tiles_sx = (
+        pad_rays(states_x).reshape(num_tiles, rays_per_tile, -1)
+        if states_x is not None
+        else jnp.zeros((num_tiles, rays_per_tile, 0), rays_o.dtype)
+    )
+    tiles_sd = (
+        pad_rays(states_d).reshape(num_tiles, rays_per_tile, -1)
+        if states_d is not None
+        else jnp.zeros((num_tiles, rays_per_tile, 0), rays_o.dtype)
+    )
+    if key is not None:
+        tile_keys = jax.random.split(key, num_tiles)
+    else:
+        # lax.map needs a concrete array; renderers ignore it when the
+        # render config is deterministic.
+        tile_keys = jnp.zeros((num_tiles, 2), dtype=jnp.uint32)
+
+    def tile_fn(args):
+        tile_o, tile_d, tile_sx, tile_sd, raw_key = args
+        tile_key = (
+            jax.random.wrap_key_data(raw_key.astype(jnp.uint32), impl="threefry2x32")
+            if key is not None
+            else None
+        )
+        sx = tile_sx if tile_sx.shape[-1] > 0 else None
+        sd = tile_sd if tile_sd.shape[-1] > 0 else None
+        return per_tile_fn((tile_o, tile_d, sx, sd, tile_key))
+
+    if key is not None:
+        tile_keys = jax.random.key_data(tile_keys)
+
+    out = jax.lax.map(
+        tile_fn, (tiles_o, tiles_d, tiles_sx, tiles_sd, tile_keys)
+    )
+    out = out.reshape(padded, out_channels)[:n_rays]
+    return out.reshape(batch, image_h, image_w, out_channels)

@@ -1,0 +1,170 @@
+"""Ray samplers: stratified coarse sampling and inverse-CDF fine sampling.
+
+TPU-native re-design of the sampling logic in the reference
+(``/root/reference/nerf/model.py``):
+
+* ``sample_log_bbox``   ~ reference ``NeRF.sample_along_rays``
+  (``model.py:369-435``): log-spaced fenceposts between ``2^-9.436...`` and
+  ``1`` scaled by the bbox diagonal, with optional midpoint-bounded jitter.
+* ``sample_linear``     ~ the v1.2-generation semantics (notebook cell 8,
+  ``train_conditional_nerf.py:120-128``): linear stratified samples between
+  explicit near/far planes, same midpoint-bounded jitter.
+* ``sample_pdf``        ~ the hierarchical inverse-CDF sampler promised by the
+  reference docstrings (``model.py:191-193, 503-505`` — "later stages sample
+  along rays using an empirical cdf"); its v1.2 source is gone, so this
+  follows the NeRF paper's spec: piecewise-constant PDF from coarse weights →
+  CDF → inverse-transform sampling.  Static shapes, ``jit``/``vmap`` safe.
+
+All randomness is explicit through JAX PRNG keys (replacing ``torch.rand`` at
+reference ``model.py:432``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# Reference constant at model.py:414: 2^-9.43633744014 * bbox_diagonal ~= 0.1
+# world units of near plane for the default +-20 bbox.
+LOG_SAMPLING_MIN_EXPONENT = -9.43633744014
+
+
+def _stratified_jitter(key: jax.Array, samples: Array) -> Array:
+    """Jitter fencepost samples uniformly within midpoint-bounded bins.
+
+    Mirrors reference ``model.py:422-433``: bin ``i`` spans
+    ``[mid(i-1,i), mid(i,i+1)]`` with the first/last bins clamped at the
+    endpoints.
+    """
+    midpoints = 0.5 * (samples[..., 1:] + samples[..., :-1])
+    lower = jnp.concatenate([samples[..., :1], midpoints], axis=-1)
+    upper = jnp.concatenate([midpoints, samples[..., -1:]], axis=-1)
+    u = jax.random.uniform(key, samples.shape, dtype=samples.dtype)
+    return lower + (upper - lower) * u
+
+
+def sample_log_bbox(
+    key: Optional[jax.Array],
+    batch_shape: Sequence[int],
+    num_samples: int,
+    bbox_diagonal: Array,
+    randomly_sample: bool = True,
+    dtype=jnp.float32,
+) -> Array:
+    """HEAD-generation sampler: log-spaced t-values scaled by the bbox diagonal.
+
+    ``t = 2^linspace(-9.436..., 0, S) * ||rays_max - rays_min||`` — for the
+    default +-20 box this is near ~= 0.1, far ~= 69.28 world units (verified
+    against the reference in SURVEY.md §2.1 #13).
+    """
+    samples = jnp.power(
+        2.0,
+        jnp.linspace(LOG_SAMPLING_MIN_EXPONENT, 0.0, num_samples, dtype=dtype),
+    )
+    samples = jnp.broadcast_to(samples, tuple(batch_shape) + (num_samples,))
+    if randomly_sample:
+        if key is None:
+            raise ValueError("randomly_sample=True requires a PRNG key")
+        samples = _stratified_jitter(key, samples)
+    return samples * jnp.asarray(bbox_diagonal, dtype=dtype)
+
+
+def sample_linear(
+    key: Optional[jax.Array],
+    batch_shape: Sequence[int],
+    num_samples: int,
+    near: float,
+    far: float,
+    randomly_sample: bool = True,
+    dtype=jnp.float32,
+) -> Array:
+    """v1.2-generation sampler: linear stratified t-values between near/far.
+
+    This is the classic-NeRF scheme the shipped notebook trains with
+    (``render_rays(rays_o, rays_d, 2.0, 6.0, 64, randomly_sample=True)``).
+    """
+    samples = jnp.linspace(near, far, num_samples, dtype=dtype)
+    samples = jnp.broadcast_to(samples, tuple(batch_shape) + (num_samples,))
+    if randomly_sample:
+        if key is None:
+            raise ValueError("randomly_sample=True requires a PRNG key")
+        samples = _stratified_jitter(key, samples)
+    return samples
+
+
+def sample_pdf(
+    key: Optional[jax.Array],
+    bins: Array,
+    weights: Array,
+    num_samples: int,
+    randomly_sample: bool = True,
+    eps: float = 1e-5,
+) -> Array:
+    """Inverse-CDF sampling from a piecewise-constant PDF (hierarchical NeRF).
+
+    Args:
+        key: PRNG key (required when ``randomly_sample``).
+        bins: ``[..., B+1]`` fencepost positions of the histogram bins
+            (typically the coarse t-values).
+        weights: ``[..., B]`` unnormalized per-bin weights (coarse
+            compositing weights; caller should ``stop_gradient`` them).
+        num_samples: number of fine samples S to draw per ray.
+        randomly_sample: jittered uniforms when True, midpoints of a uniform
+            grid over [0, 1) when False (deterministic eval).
+        eps: additive mass so fully-empty rays still sample uniformly.
+
+    Returns:
+        ``[..., S]`` sorted fine t-values.
+
+    Implementation notes (TPU): everything is static-shape; the CDF inversion
+    is a branchless ``searchsorted`` per ray, vectorized over the whole batch
+    — no per-ray Python, no dynamic shapes, differentiable w.r.t. ``bins``.
+    """
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+    # Clamp the top to exactly 1 so u=1-eps never falls off the table.
+    cdf = jnp.concatenate([cdf[..., :-1], jnp.ones_like(cdf[..., :1])], axis=-1)
+
+    if randomly_sample:
+        if key is None:
+            raise ValueError("randomly_sample=True requires a PRNG key")
+        u = jax.random.uniform(
+            key, bins.shape[:-1] + (num_samples,), dtype=bins.dtype,
+            minval=0.0, maxval=1.0,
+        )
+    else:
+        u = (jnp.arange(num_samples, dtype=bins.dtype) + 0.5) / num_samples
+        u = jnp.broadcast_to(u, bins.shape[:-1] + (num_samples,))
+
+    # searchsorted over the last axis, batched: index of first cdf entry > u.
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(
+        cdf.reshape(-1, cdf.shape[-1]), u.reshape(-1, num_samples)
+    ).reshape(u.shape)
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
+    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < eps, 1.0, denom)
+    t = (u - cdf_below) / denom
+    samples = bins_below + t * (bins_above - bins_below)
+    return jnp.sort(samples, axis=-1)
+
+
+def merge_samples(coarse: Array, fine: Array) -> Array:
+    """Union of coarse and fine t-values, sorted along the sample axis.
+
+    The hierarchical pipeline evaluates the fine MLP on the combined,
+    sorted sample set (NeRF paper §5.2).  Static shape: ``[..., Sc + Sf]``.
+    """
+    return jnp.sort(jnp.concatenate([coarse, fine], axis=-1), axis=-1)

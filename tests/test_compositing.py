@@ -1,0 +1,143 @@
+"""Compositing quadrature: reference parity + physical-property oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.ops import compositing
+
+
+def torch_t(x):
+    import torch
+
+    return torch.as_tensor(np.asarray(x))
+
+
+class TestWeights:
+    def test_parity_with_reference(self, reference_nerf, rng):
+        points = np.cumsum(
+            rng.uniform(0.1, 0.5, size=(16, 32, 3)), axis=-2
+        ).astype(np.float32)
+        density = rng.normal(size=(16, 32, 1)).astype(np.float32) * 2.0
+        ours = compositing.compositing_weights(
+            jnp.asarray(points), jnp.asarray(density)
+        )
+        ref = reference_nerf.NeRF.alpha_compositing_coefficients(
+            torch_t(points), torch_t(density)
+        )
+        np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5, atol=1e-7)
+
+    def test_gradient_parity_with_reference(self, reference_nerf, rng):
+        # Gradient parity through cumprod-based transmittance — the epsilon
+        # placement at reference model.py:468-469 changes gradients, so this
+        # is the critical check (SURVEY §7 hard parts).
+        import torch
+
+        points = np.cumsum(
+            rng.uniform(0.1, 0.5, size=(4, 16, 3)), axis=-2
+        ).astype(np.float32)
+        density = (rng.normal(size=(4, 16, 1)) * 2).astype(np.float32)
+
+        g = jax.grad(
+            lambda d: jnp.sum(
+                compositing.compositing_weights(jnp.asarray(points), d) ** 2
+            )
+        )(jnp.asarray(density))
+
+        td = torch_t(density).requires_grad_(True)
+        w = reference_nerf.NeRF.alpha_compositing_coefficients(
+            torch_t(points), td
+        )
+        (w ** 2).sum().backward()
+        np.testing.assert_allclose(g, td.grad.numpy(), rtol=1e-4, atol=1e-6)
+
+    def test_weights_sum_le_one(self, rng):
+        points = np.cumsum(
+            rng.uniform(0.1, 0.5, size=(64, 32, 3)), axis=-2
+        ).astype(np.float32)
+        density = rng.normal(size=(64, 32, 1)).astype(np.float32)
+        w = np.asarray(
+            compositing.compositing_weights(
+                jnp.asarray(points), jnp.asarray(density)
+            )
+        )
+        assert w.min() >= 0.0
+        # Last interval is infinite (1e10 pad) so total weight ~ 1 whenever
+        # any positive density exists; always <= 1 + tiny cumprod epsilon.
+        assert w.sum(-2).max() <= 1.0 + 1e-4
+
+    def test_brute_force_quadrature_oracle(self):
+        # Transmittance from explicit products: w_i = (1-a_i) prod_{j<i} a_j.
+        density = jnp.asarray([[[0.5], [2.0], [0.0], [1.0]]])
+        t = jnp.asarray([[0.0, 1.0, 2.0, 3.0]])
+        d = jnp.asarray([[1.0, 0.0, 0.0]])
+        dists = compositing.distances_from_tvals(t, d)
+        w = np.asarray(compositing.weights_from_density(density, dists))[0, :, 0]
+        a = np.exp(-np.maximum(np.asarray(density)[0, :, 0], 0)
+                   * np.asarray(dists)[0, :, 0])
+        expect = [(1 - a[0]),
+                  (1 - a[1]) * (a[0] + 1e-10),
+                  (1 - a[2]) * (a[0] + 1e-10) * (a[1] + 1e-10),
+                  (1 - a[3]) * (a[0] + 1e-10) * (a[1] + 1e-10) * (a[2] + 1e-10)]
+        np.testing.assert_allclose(w, expect, rtol=1e-5)
+
+    def test_tval_distances_match_point_distances(self, rng):
+        t = np.sort(rng.uniform(1, 6, size=(8, 16)), -1).astype(np.float32)
+        o = rng.normal(size=(8, 3)).astype(np.float32)
+        d = rng.normal(size=(8, 3)).astype(np.float32)
+        points = o[:, None, :] + d[:, None, :] * t[..., None]
+        d1 = compositing.distances_from_points(jnp.asarray(points))
+        d2 = compositing.distances_from_tvals(jnp.asarray(t), jnp.asarray(d))
+        np.testing.assert_allclose(d1, d2, rtol=1e-3, atol=1e-6)
+
+
+class TestComposites:
+    def test_rgb_in_unit_range(self, rng):
+        w = rng.dirichlet(np.ones(16), size=(32,)).astype(np.float32)[..., None]
+        logits = rng.normal(size=(32, 16, 3)).astype(np.float32) * 5
+        rgb = np.asarray(
+            compositing.composite_rgb(jnp.asarray(w), jnp.asarray(logits))
+        )
+        assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+
+    def test_segmentation_parity_with_reference(self, rng):
+        # Mirror of model.py:661-663 composite, checked against a direct
+        # torch computation of the same formula.
+        import torch
+
+        w = rng.uniform(0, 0.2, size=(8, 16, 1)).astype(np.float32)
+        logits = rng.normal(size=(8, 16, 50)).astype(np.float32)
+        ours = compositing.composite_segmentation(
+            jnp.asarray(w), jnp.asarray(logits)
+        )
+        tw, tl = torch_t(w), torch_t(logits)
+        ref = (torch.log(tw + 1e-10)
+               + torch.log_softmax(tl, dim=-1)).logsumexp(dim=-2)
+        np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5, atol=1e-6)
+
+    def test_segmentation_is_expected_probability(self, rng):
+        # exp(composite) == sum_i w_i softmax(seg_i) when eps is negligible.
+        w = rng.dirichlet(np.ones(8), size=(4,)).astype(np.float32)[..., None]
+        logits = rng.normal(size=(4, 8, 5)).astype(np.float32)
+        out = np.exp(
+            np.asarray(
+                compositing.composite_segmentation(
+                    jnp.asarray(w), jnp.asarray(logits)
+                )
+            )
+        )
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        expect = (w * probs).sum(-2)
+        np.testing.assert_allclose(out, expect, rtol=1e-3, atol=1e-6)
+
+    def test_depth_acc_background(self):
+        w = jnp.asarray([[[0.25], [0.25]]])
+        t = jnp.asarray([[1.0, 3.0]])
+        assert abs(float(compositing.composite_depth(w, t)[0]) - 1.0) < 1e-6
+        assert abs(float(compositing.composite_acc(w)[0]) - 0.5) < 1e-6
+        logits = jnp.full((1, 2, 3), 100.0)  # sigmoid -> 1
+        rgb = compositing.composite_rgb_with_background(
+            w, logits, jnp.ones(3)
+        )
+        np.testing.assert_allclose(rgb, 1.0, rtol=1e-5)
