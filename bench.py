@@ -1,0 +1,129 @@
+"""Benchmark: rays/sec/chip for the full training step on the flagship model.
+
+Measures the fused multi-step trainer (on-device batch sampling +
+stratified sampling + positional encoding + 8-layer view-conditioned MLP +
+compositing + MSE + backward + Adam, K steps per dispatch via ``lax.scan``)
+on the default platform (the real TPU chip under the driver).
+
+Measurement method: this environment reaches the chip through a relay where
+``block_until_ready`` does not reliably wait and per-dispatch latency is
+large, so host-side per-step timing is meaningless.  Instead we run the
+K-step fused scan (one dispatch, one fetch) and difference two chain
+lengths to cancel the fixed dispatch+fetch overhead:
+
+    t_step = (T(K2) - T(K1)) / (K2 - K1)
+
+Baseline anchor: the reference's measured ~158 rays/s fwd+bwd+step on CPU
+at the identical workload (BASELINE.md; batch 1024 rays x 64 samples); the
+reference publishes no GPU numbers.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra detail goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _random_bank(num_rays: int = 200_000):
+    from nerf_tpu.data import RayBank
+
+    rng = np.random.default_rng(0)
+    return RayBank(
+        rays_o=jnp.asarray(rng.normal(size=(num_rays, 3)), jnp.float32),
+        rays_d=jnp.asarray(rng.normal(size=(num_rays, 3)), jnp.float32),
+        pixels=jnp.asarray(rng.uniform(size=(num_rays, 3)), jnp.float32),
+        labels=None,
+        image_index=jnp.zeros((num_rays,), jnp.int32),
+        states_x=None,
+        states_d=None,
+        image_shape=(20, 100, 100),
+        focal_length=100.0,
+    )
+
+
+def _time_chain(run, state, repeats: int = 3) -> float:
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, aux = run(state)
+        float(jax.device_get(aux["loss"])[-1])  # real sync (fetch)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_train_step(
+    model, render, batch_size: int, k1: int = 8, k2: int = 40
+) -> float:
+    """Steady-state seconds/step via chain-length differencing."""
+    from nerf_tpu.train import create_train_state, make_multi_step_train_fn
+
+    opt = optax.adam(1e-4)
+    bank = _random_bank()
+
+    results = {}
+    for k in (k1, k2):
+        run = make_multi_step_train_fn(model, opt, render, bank, batch_size, k)
+        state = create_train_state(model.init(jax.random.PRNGKey(0)), opt)
+        state, aux = run(state)  # compile + warm
+        float(jax.device_get(aux["loss"])[-1])
+        results[k] = _time_chain(run, state)
+    t_step = (results[k2] - results[k1]) / (k2 - k1)
+    log(
+        f"  T({k1})={results[k1]:.3f}s T({k2})={results[k2]:.3f}s "
+        f"-> {t_step * 1e3:.2f} ms/step"
+    )
+    return t_step
+
+
+def main() -> None:
+    from nerf_tpu import ClassicNeRF, ClassicNeRFConfig, RenderConfig
+
+    log(f"devices: {jax.devices()}")
+    model = ClassicNeRF(ClassicNeRFConfig(normalize_position=6.0))
+    batch = 4096
+
+    # Headline: the reference workload — 64 samples/ray, fwd+bwd+Adam.
+    render64 = RenderConfig(
+        num_coarse_samples=64, near=2.0, far=6.0,
+        randomly_sample=True, density_noise_std=1.0,
+    )
+    t64 = bench_train_step(model, render64, batch)
+    rays_per_s = batch / t64
+    log(f"train step, {batch} rays x 64 samples: {rays_per_s:,.0f} rays/s")
+
+    # Secondary: hierarchical 64+128 (the full-pipeline config).
+    render_hier = RenderConfig(
+        num_coarse_samples=64, num_fine_samples=128, near=2.0, far=6.0,
+        randomly_sample=True, density_noise_std=1.0,
+    )
+    t_h = bench_train_step(model, render_hier, 1024, k1=4, k2=16)
+    log(f"train step, 1024 rays x (64+128) hierarchical: {1024 / t_h:,.0f} rays/s")
+
+    baseline = 158.0  # reference fwd+bwd+Adam rays/s on CPU (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_chip_64samples",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

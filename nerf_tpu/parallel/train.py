@@ -1,0 +1,191 @@
+"""Data-parallel training and rendering over a device mesh.
+
+SPMD via ``jit`` + shardings (the pjit path): the ray batch is sharded over
+the ``batch`` mesh axis, the train state is replicated, and XLA inserts the
+gradient all-reduce (psum over ICI on real hardware) and overlaps it with
+the backward pass through its latency-hiding scheduler — the TPU-native
+replacement for the NCCL/DDP machinery the reference never had
+(SURVEY.md §5 "distributed communication backend").
+
+Key property tested in CI on the virtual 8-device CPU mesh: an N-way
+sharded step computes the SAME update as the single-device step (batch-mean
+loss ⇒ mean of per-shard gradients), and sharded rendering equals
+single-device rendering.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from nerf_tpu.config import RenderConfig
+from nerf_tpu.parallel.mesh import (
+    batch_sharding,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
+from nerf_tpu.train.loop import make_loss_fn
+from nerf_tpu.train.state import TrainState, fold_key
+
+Array = jax.Array
+
+
+def make_parallel_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    render: RenderConfig,
+    mesh: Mesh,
+    segmentation_loss_weight: float = 0.0,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict]]:
+    """Jitted SPMD train step: state replicated, batch ray-sharded.
+
+    The returned function expects the batch already placed with
+    ``shard_batch`` (or any layout — XLA will resharde per the in_shardings
+    contract).  Gradient math: the loss is a mean over the global batch, so
+    partitioning the batch axis makes XLA compute per-shard partial sums and
+    all-reduce them — numerically identical to single-device up to float
+    reduction order.
+    """
+    loss_fn = make_loss_fn(model, render, segmentation_loss_weight)
+
+    def step(state: TrainState, batch: Dict[str, Array]):
+        key = fold_key(state)
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, key, batch
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            key=state.key,
+        )
+        aux["grad_norm"] = optax.global_norm(grads)
+        return new_state, aux
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    state_sh = jax.tree_util.tree_map(lambda _: repl, _state_shape_token())
+    return jax.jit(
+        step,
+        in_shardings=(state_sh, data),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def _state_shape_token():
+    """A TrainState-shaped token tree for sharding specification.
+
+    ``jax.jit`` accepts a pytree-prefix for in_shardings, but TrainState's
+    exact structure varies with the optimizer; a 4-field NamedTuple of
+    ``None`` placeholders lets tree_map paint every leaf replicated.
+    """
+    return TrainState(step=0, params=0, opt_state=0, key=0)
+
+
+def prepare_parallel_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Replicate a host/single-device train state across the mesh."""
+    return replicate(state, mesh)
+
+
+def make_parallel_render(
+    model,
+    render: RenderConfig,
+    mesh: Mesh,
+) -> Callable[..., Array]:
+    """Sharded batch-of-rays renderer: rays split over the mesh, params
+    replicated, pixels gathered — the multi-chip eval path (each chip
+    renders its pixel shard; no inter-chip traffic until the output gather,
+    SURVEY.md §5 long-context row)."""
+
+    def render_fn(params, rays_o, rays_d, states_x, states_d):
+        # Zero-width state arrays mean "no conditioning" (keeps the arity
+        # static for the sharding contract).
+        sx = states_x if states_x.shape[-1] > 0 else None
+        sd = states_d if states_d.shape[-1] > 0 else None
+        out = model.render_rays(
+            params, None, rays_o, rays_d, render, states_x=sx, states_d=sd
+        )
+        rgb = out.rgb[..., -1, :]
+        if out.segmentation is not None:
+            return jnp.concatenate([rgb, out.segmentation[..., -1, :]], -1)
+        return rgb
+
+    data = batch_sharding(mesh)
+    repl = replicated_sharding(mesh)
+    return jax.jit(
+        render_fn,
+        in_shardings=(repl, data, data, data, data),
+        out_shardings=data,
+    )
+
+
+def render_image_sharded(
+    model,
+    params,
+    mesh: Mesh,
+    camera_o,
+    camera_r,
+    image_h: int,
+    image_w: int,
+    focal_length: float,
+    render: RenderConfig,
+    states_x=None,
+    states_d=None,
+) -> Array:
+    """Full-image eval render with pixels sharded across the mesh.
+
+    Pads the ray grid to a multiple of the mesh size, shards, renders, and
+    reassembles ``[B, H, W, C]`` on the host.
+    """
+    from nerf_tpu.ops import cameras
+
+    rays_o, rays_d = cameras.pose_to_rays(
+        camera_o, camera_r, image_h, image_w, focal_length
+    )
+    b = rays_o.shape[0]
+    n = b * image_h * image_w
+    rays_o = rays_o.reshape(n, 3)
+    rays_d = rays_d.reshape(n, 3)
+
+    def expand_states(states):
+        if states is None:
+            return jnp.zeros((rays_o.shape[0], 0), rays_o.dtype)
+        states = jnp.broadcast_to(
+            states[:, None, :], (b, image_h * image_w, states.shape[-1])
+        )
+        return states.reshape(-1, states.shape[-1])
+
+    sx = expand_states(states_x)
+    sd = expand_states(states_d)
+
+    n_dev = mesh.devices.size
+    pad = (-n) % n_dev
+    if pad:
+        rays_o = jnp.pad(rays_o, ((0, pad), (0, 0)))
+        rays_d = jnp.pad(rays_d, ((0, pad), (0, 0)))
+        sx = jnp.pad(sx, ((0, pad), (0, 0)))
+        sd = jnp.pad(sd, ((0, pad), (0, 0)))
+
+    render_fn = make_parallel_render(model, render, mesh)
+    params = replicate(params, mesh)
+    sh = batch_sharding(mesh)
+    out = render_fn(
+        params,
+        jax.device_put(rays_o, sh),
+        jax.device_put(rays_d, sh),
+        jax.device_put(sx, sh),
+        jax.device_put(sd, sh),
+    )
+    out = jax.device_get(out)[:n]
+    return out.reshape(b, image_h, image_w, -1)

@@ -131,6 +131,52 @@ def make_sampling_train_step(
     return step
 
 
+def make_multi_step_train_fn(
+    model,
+    optimizer: optax.GradientTransformation,
+    render: RenderConfig,
+    bank: RayBank,
+    batch_size: int,
+    num_steps: int,
+    segmentation_loss_weight: float = 0.0,
+) -> Callable[[TrainState], Tuple[TrainState, Dict]]:
+    """Fuse ``num_steps`` training steps into ONE jitted ``lax.scan``.
+
+    The decisive TPU pattern for high-latency links (and simply for
+    throughput): batch sampling, forward, backward and Adam for K steps run
+    as a single device program — one dispatch, one result fetch, zero
+    host round-trips in between.  Per-step PRNG keys derive from
+    ``fold_in(state.key, state.step)`` exactly like the single-step path,
+    so K fused steps produce bit-identical results to K single steps
+    (resume-safe).
+
+    Returns ``(final_state, stacked_aux)`` where each aux entry has a
+    leading ``[num_steps]`` axis.
+    """
+    loss_fn = make_loss_fn(model, render, segmentation_loss_weight)
+
+    def one_step(state: TrainState, _):
+        key = fold_key(state)
+        batch = bank.sample_batch(jax.random.fold_in(key, 0x5A17), batch_size)
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, key, batch
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(state.step + 1, params, opt_state, state.key),
+            aux,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(state: TrainState):
+        return jax.lax.scan(one_step, state, None, length=num_steps)
+
+    return run
+
+
 def evaluate(
     model,
     params,

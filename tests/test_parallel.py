@@ -1,0 +1,190 @@
+"""SPMD tests on the virtual 8-device CPU mesh (SURVEY.md §4: sharded
+N-way result == single-device result to float tolerance)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerf_tpu import ClassicNeRF, ClassicNeRFConfig, RenderConfig
+from nerf_tpu.data import RayBank, synthesize_scene
+from nerf_tpu.parallel import (
+    make_mesh,
+    make_parallel_train_step,
+    prepare_parallel_state,
+    render_image_sharded,
+    shard_batch,
+)
+from nerf_tpu.train import create_train_state, make_train_step
+
+
+def tiny_model():
+    return ClassicNeRF(
+        ClassicNeRFConfig(
+            normalize_position=6.0,
+            x_positional_encoding_size=12,
+            d_positional_encoding_size=8,
+            hidden_size=32,
+            trunk_blocks=(2, 2),
+            view_branch_depth=1,
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return synthesize_scene(num_views=3, image_hw=16, focal=20.0,
+                            num_samples=128)
+
+
+def make_batch(scene, n=256):
+    bank = RayBank.from_images(
+        scene.images, scene.pose_o, scene.pose_r, scene.focal
+    )
+    return bank.gather(jnp.arange(n))
+
+
+class TestMesh:
+    def test_eight_virtual_devices(self):
+        assert len(jax.devices()) == 8
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+
+    def test_submesh(self):
+        mesh = make_mesh(num_devices=4)
+        assert mesh.devices.size == 4
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(num_devices=64)
+
+
+class TestParallelStepEquivalence:
+    def test_sharded_step_matches_single_device(self, scene):
+        model = tiny_model()
+        opt = optax.adam(1e-3)
+        render = RenderConfig(num_coarse_samples=8, randomly_sample=False,
+                              density_noise_std=0.0)
+        batch = make_batch(scene)
+
+        # single device
+        s0 = create_train_state(model.init(jax.random.PRNGKey(0)), opt)
+        single = make_train_step(model, opt, render, donate=False)
+        s1, aux1 = single(s0, batch)
+
+        # 8-way sharded
+        mesh = make_mesh()
+        s0p = prepare_parallel_state(
+            create_train_state(model.init(jax.random.PRNGKey(0)), opt), mesh
+        )
+        pstep = make_parallel_train_step(model, opt, render, mesh,
+                                         donate=False)
+        s1p, aux1p = pstep(s0p, shard_batch(batch, mesh))
+
+        np.testing.assert_allclose(
+            float(aux1["loss"]), float(aux1p["loss"]), rtol=1e-5
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            ),
+            s1.params, jax.device_get(s1p.params),
+        )
+
+    def test_multi_step_training_converges_sharded(self, scene):
+        model = tiny_model()
+        opt = optax.adam(1e-3)
+        render = RenderConfig(num_coarse_samples=8, density_noise_std=0.2)
+        mesh = make_mesh()
+        state = prepare_parallel_state(
+            create_train_state(model.init(jax.random.PRNGKey(0)), opt), mesh
+        )
+        pstep = make_parallel_train_step(model, opt, render, mesh)
+        bank = RayBank.from_images(
+            scene.images, scene.pose_o, scene.pose_r, scene.focal
+        )
+        losses = []
+        for i in range(30):
+            batch = shard_batch(
+                bank.sample_batch(jax.random.PRNGKey(i), 256), mesh
+            )
+            state, aux = pstep(state, batch)
+            losses.append(float(aux["loss"]))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+        assert int(jax.device_get(state.step)) == 30
+
+    def test_gradients_are_batch_mean(self, scene):
+        # Shard-invariance comes from the loss being a global-batch mean;
+        # verify the sharded gradient equals the explicit mean of two
+        # half-batch gradients.
+        model = tiny_model()
+        opt = optax.adam(1e-3)
+        render = RenderConfig(num_coarse_samples=8, randomly_sample=False,
+                              density_noise_std=0.0)
+        from nerf_tpu.train.loop import make_loss_fn
+
+        loss_fn = make_loss_fn(model, render)
+        params = model.init(jax.random.PRNGKey(0))
+        batch = make_batch(scene, 128)
+        g_full = jax.grad(lambda p: loss_fn(p, None, batch)[0])(params)
+        half = {k: v[:64] for k, v in batch.items()}
+        half2 = {k: v[64:] for k, v in batch.items()}
+        g1 = jax.grad(lambda p: loss_fn(p, None, half)[0])(params)
+        g2 = jax.grad(lambda p: loss_fn(p, None, half2)[0])(params)
+        jax.tree_util.tree_map(
+            lambda a, b, c: np.testing.assert_allclose(
+                a, (b + c) / 2, rtol=1e-4, atol=1e-7
+            ),
+            g_full, g1, g2,
+        )
+
+
+class TestShardedRender:
+    def test_sharded_image_matches_tiled_image(self, scene):
+        model = tiny_model()
+        params = model.init(jax.random.PRNGKey(0))
+        render = RenderConfig(num_coarse_samples=8, randomly_sample=False,
+                              density_noise_std=0.0, rays_per_tile=64)
+        mesh = make_mesh()
+        img_sharded = render_image_sharded(
+            model, params, mesh,
+            scene.pose_o[:1], scene.pose_r[:1], 16, 16, scene.focal, render,
+        )
+        img_single = np.asarray(
+            model.render_image(
+                params, None, scene.pose_o[:1], scene.pose_r[:1],
+                16, 16, scene.focal, render,
+            )
+        )
+        np.testing.assert_allclose(
+            np.asarray(img_sharded), img_single, rtol=1e-4, atol=1e-5
+        )
+
+    def test_nondivisible_ray_count_pads_correctly(self, scene):
+        model = tiny_model()
+        params = model.init(jax.random.PRNGKey(0))
+        render = RenderConfig(num_coarse_samples=8, randomly_sample=False,
+                              density_noise_std=0.0)
+        mesh = make_mesh()
+        # 15*13 = 195 rays, not divisible by 8
+        img = render_image_sharded(
+            model, params, mesh,
+            scene.pose_o[:1], scene.pose_r[:1], 15, 13, scene.focal, render,
+        )
+        assert img.shape == (1, 15, 13, 3)
+        assert np.all(np.isfinite(np.asarray(img)))
+
+
+class TestDistributedHelpers:
+    def test_host_local_slice_single_process(self):
+        from nerf_tpu.parallel import distributed
+
+        s = distributed.host_local_slice(1000, 256)
+        assert s == slice(0, 256)
+        assert distributed.is_coordinator()
+
+    def test_collective_barrier(self):
+        from nerf_tpu.parallel import distributed
+
+        distributed.collective_barrier()  # must not raise on healthy mesh
