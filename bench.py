@@ -92,7 +92,10 @@ def main() -> None:
     from nerf_tpu import ClassicNeRF, ClassicNeRFConfig, RenderConfig
 
     log(f"devices: {jax.devices()}")
-    model = ClassicNeRF(ClassicNeRFConfig(normalize_position=6.0))
+    # Flagship config: fused Pallas MLP (weights + activations VMEM-resident).
+    model = ClassicNeRF(
+        ClassicNeRFConfig(normalize_position=6.0, use_pallas=True)
+    )
     batch = 4096
 
     # Headline: the reference workload — 64 samples/ray, fwd+bwd+Adam.

@@ -48,6 +48,10 @@ class ClassicNeRFConfig:
     # positions use (the surviving reference encoder is a model method using
     # the model bbox for everything).
     normalize_direction: Optional[float] = None  # None => normalize_position
+    # Run the point MLP as the fused Pallas kernel (ops/pallas/fused_mlp.py)
+    # — weights + activation chain VMEM-resident, rematerialized backward.
+    # Falls back to the XLA path for architectures the kernel doesn't cover.
+    use_pallas: bool = False
 
     @property
     def x_encoding_dim(self) -> int:

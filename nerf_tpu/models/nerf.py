@@ -140,6 +140,14 @@ class ClassicNeRF:
                 dirs,
                 None if states_d is None else states_d[..., None, :],
             )
+        if self.cfg.use_pallas:
+            from nerf_tpu.ops.pallas import fused_mlp
+
+            if d_enc is not None and fused_mlp.supports_classic_config(self.cfg):
+                density, color = fused_mlp.classic_mlp_pallas(
+                    params, x_enc, d_enc
+                )
+                return points, density, color
         density, color = mlp_lib.apply_classic_mlp(params, self.cfg, x_enc, d_enc)
         return points, density, color
 

@@ -1,0 +1,457 @@
+"""Fused Pallas TPU kernel for the classic NeRF point MLP (fwd + custom VJP).
+
+Why this kernel exists: the XLA path materializes every layer's
+``[points, 256]`` activation in HBM (268 MB per intermediate at the
+reference workload of 4096 rays x 64 samples), making the train step
+HBM-bound at ~10 % MXU utilization.  This kernel keeps ALL weights
+(~2.6 MB) and the entire 10-layer activation chain resident in VMEM per
+point-block, so HBM traffic collapses to the kernel's inputs/outputs
+(encodings in, 4 floats per point out).  The backward pass recomputes the
+forward activations in VMEM (flash-attention-style rematerialization) and
+accumulates weight gradients across the sequential grid — no activation
+ever round-trips through HBM.
+
+Architecture covered (the v1.2 reference model, SURVEY.md §2.3):
+
+    L0      : x_enc[XE] -> H        (block_0.0)
+    L1..L3  : H -> H                (block_0.{3,6,9})
+    L4      : [H ++ x_enc] -> H     (block_1.0, skip concat — implemented
+                                     as two matmuls, no concat needed)
+    L5..L7  : H -> H                (block_1.{3,6,9})
+    density : H -> 1                (off L7's output)
+    L8      : [H ++ d_enc] -> H     (block_2.0, view conditioning)
+    L9      : H -> H                (block_2.3)
+    color   : H -> 3
+
+Every layer is Linear -> ReLU -> LayerNorm (checkpoint ordering), LN eps
+1e-5 matching ``nerf_tpu.models.mlp``.  Numerics are float32 end-to-end by
+default (parity with the XLA path is tested to ~1e-5); matmuls can run in
+bf16 with f32 accumulation via ``compute_dtype``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+LN_EPS = 1e-5
+NUM_LAYERS = 10
+NUM_HH = 9  # H->H weight slabs: L1..L9
+
+# Forward processes bigger point blocks than backward (backward also holds
+# the recomputed activation chain + weight-gradient accumulators in VMEM).
+TILE_FWD = 1024
+TILE_BWD = 256
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+# ---------------------------------------------------------------------------
+# Parameter packing: pytree (models/mlp.py layout) <-> kernel slabs
+# ---------------------------------------------------------------------------
+
+
+def pack_classic_params(params: Dict[str, Any]) -> Dict[str, Array]:
+    """Pack the ClassicNeRF pytree into kernel-friendly slabs.
+
+    The skip/view concat layers are split into two matmuls: rows ``:H`` of
+    ``block_1[0]``/``block_2[0]`` weights act on the hidden state, the tail
+    rows act on the x/d encodings (concat order ``[h, enc]`` per
+    ``models/mlp.py::apply_classic_mlp``).
+
+    Differentiable (pure stack/slice), so standard autodiff flows through
+    the packing around the custom-VJP core.
+    """
+    b0, b1, b2 = params["block_0"], params["block_1"], params["block_2"]
+    h = b0[0]["linear"]["w"].shape[1]
+
+    whh = jnp.stack(
+        [b0[i]["linear"]["w"] for i in (1, 2, 3)]
+        + [b1[0]["linear"]["w"][:h]]
+        + [b1[i]["linear"]["w"] for i in (1, 2, 3)]
+        + [b2[0]["linear"]["w"][:h]]
+        + [b2[1]["linear"]["w"]]
+    )  # [9, H, H]
+
+    layers = b0 + b1 + b2  # 10 layers in execution order
+    return {
+        "w0": b0[0]["linear"]["w"],          # [XE, H]
+        "wx": b1[0]["linear"]["w"][h:],      # [XE, H] skip tail
+        "wd_in": b2[0]["linear"]["w"][h:],   # [DE, H] view tail
+        "whh": whh,                          # [9, H, H]
+        "b": jnp.stack([l["linear"]["b"] for l in layers]),    # [10, H]
+        "g": jnp.stack([l["ln"]["scale"] for l in layers]),    # [10, H]
+        "beta": jnp.stack([l["ln"]["bias"] for l in layers]),  # [10, H]
+        "w_dens": params["density"]["w"],    # [H, 1]
+        "b_dens": params["density"]["b"].reshape(1, 1),
+        "w_col": params["color"]["w"],       # [H, C]
+        "b_col": params["color"]["b"].reshape(1, -1),
+    }
+
+
+def supports_classic_config(cfg) -> bool:
+    """The kernel covers the reference architecture family."""
+    return (
+        cfg.trunk_blocks == (4, 4)
+        and cfg.view_branch_depth == 2
+        and cfg.use_viewdirs
+    )
+
+
+_PACK_ORDER = (
+    "w0", "wx", "wd_in", "whh", "b", "g", "beta",
+    "w_dens", "b_dens", "w_col", "b_col",
+)
+
+
+# ---------------------------------------------------------------------------
+# Kernel bodies
+# ---------------------------------------------------------------------------
+
+
+def _layer_fwd(pre, b_row, g_row, beta_row):
+    """Linear-output ``pre`` -> ReLU -> LayerNorm.  Returns (a, out)."""
+    a = jnp.maximum(pre + b_row[None, :], 0.0)
+    mu = jnp.mean(a, axis=-1, keepdims=True)
+    var = jnp.mean((a - mu) ** 2, axis=-1, keepdims=True)
+    xhat = (a - mu) * jax.lax.rsqrt(var + LN_EPS)
+    return a, xhat * g_row[None, :] + beta_row[None, :]
+
+
+def _dot(a, b, dtype):
+    if dtype != jnp.float32:
+        a = a.astype(dtype)
+        b = b.astype(dtype)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dot_t(a, b, dtype):
+    """a @ b^T without materializing the transpose."""
+    if dtype != jnp.float32:
+        a = a.astype(dtype)
+        b = b.astype(dtype)
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_tn(a, b, dtype):
+    """a^T @ b (contract leading axes) — weight-gradient shape."""
+    if dtype != jnp.float32:
+        a = a.astype(dtype)
+        b = b.astype(dtype)
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _forward_chain(x, d, w, dtype):
+    """Shared fwd math: returns (a_list, h_list, density, color)."""
+    a_list, h_list = [], []
+
+    def layer(i, pre):
+        a, out = _layer_fwd(pre, w["b"][i], w["g"][i], w["beta"][i])
+        a_list.append(a)
+        h_list.append(out)
+        return out
+
+    h = layer(0, _dot(x, w["w0"], dtype))
+    for i in (1, 2, 3):
+        h = layer(i, _dot(h, w["whh"][i - 1], dtype))
+    h = layer(4, _dot(h, w["whh"][3], dtype) + _dot(x, w["wx"], dtype))
+    for i in (5, 6, 7):
+        h = layer(i, _dot(h, w["whh"][i - 1], dtype))
+    density = _dot(h, w["w_dens"], dtype) + w["b_dens"][0]
+    h2 = layer(8, _dot(h, w["whh"][7], dtype) + _dot(d, w["wd_in"], dtype))
+    h2 = layer(9, _dot(h2, w["whh"][8], dtype))
+    color = _dot(h2, w["w_col"], dtype) + w["b_col"][0]
+    return a_list, h_list, density, color
+
+
+def _fwd_kernel(*refs, compute_dtype):
+    x_ref, d_ref = refs[0], refs[1]
+    w = dict(zip(_PACK_ORDER, refs[2 : 2 + len(_PACK_ORDER)]))
+    out_ref = refs[2 + len(_PACK_ORDER)]
+    w = {k: v[:] for k, v in w.items()}
+    _, _, density, color = _forward_chain(
+        x_ref[:], d_ref[:], w, compute_dtype
+    )
+    out_ref[:, 0:1] = density
+    out_ref[:, 1:] = color
+
+
+def _ln_relu_bwd(g_out, a, g_row):
+    """Backward through LayerNorm(ReLU-output a) given dL/d(layer out).
+
+    Returns (dpre, dg_partial, dbeta_partial) where dpre is dL/d(linear
+    pre-activation + bias input), i.e. after the ReLU mask.
+    """
+    mu = jnp.mean(a, axis=-1, keepdims=True)
+    var = jnp.mean((a - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (a - mu) * inv
+    dg = jnp.sum(g_out * xhat, axis=0)
+    dbeta = jnp.sum(g_out, axis=0)
+    dxhat = g_out * g_row[None, :]
+    da = inv * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    dpre = da * (a > 0.0)
+    return dpre, dg, dbeta
+
+
+def _bwd_kernel(*refs, compute_dtype):
+    (x_ref, d_ref, gout_ref) = refs[0:3]
+    w = dict(zip(_PACK_ORDER, refs[3 : 3 + len(_PACK_ORDER)]))
+    outs = refs[3 + len(_PACK_ORDER) :]
+    (dx_ref, dd_ref, dw0_ref, dwx_ref, dwdin_ref, dwhh_ref, db_ref,
+     dg_ref, dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref) = outs
+
+    w = {k: v[:] for k, v in w.items()}
+    x, d = x_ref[:], d_ref[:]
+    dt = compute_dtype
+
+    # Zero the weight-grad accumulators on the first grid step (they use a
+    # constant index_map, so the same VMEM block persists across steps).
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for ref in (dw0_ref, dwx_ref, dwdin_ref, dwhh_ref, db_ref, dg_ref,
+                    dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    # Recompute the forward chain in VMEM (rematerialization).
+    a_list, h_list, _, _ = _forward_chain(x, d, w, dt)
+
+    g_dens = gout_ref[:, 0:1]
+    g_col = gout_ref[:, 1:]
+
+    db_acc = [None] * NUM_LAYERS
+    dg_acc = [None] * NUM_LAYERS
+    dbeta_acc = [None] * NUM_LAYERS
+    dwhh_acc = [None] * NUM_HH
+
+    # color head
+    g_h9 = _dot_t(g_col, w["w_col"], dt)
+    dwcol_ref[...] += _dot_tn(h_list[9], g_col, dt)
+    dbcol_ref[...] += jnp.sum(g_col, axis=0, keepdims=True)
+
+    def layer_bwd(i, g_h):
+        dpre, dg_i, dbeta_i = _ln_relu_bwd(g_h, a_list[i], w["g"][i])
+        dg_acc[i] = dg_i
+        dbeta_acc[i] = dbeta_i
+        db_acc[i] = jnp.sum(dpre, axis=0)
+        return dpre
+
+    # L9
+    dpre = layer_bwd(9, g_h9)
+    dwhh_acc[8] = _dot_tn(h_list[8], dpre, dt)
+    g_h = _dot_t(dpre, w["whh"][8], dt)
+    # L8 (view conditioning)
+    dpre = layer_bwd(8, g_h)
+    dwhh_acc[7] = _dot_tn(h_list[7], dpre, dt)
+    dwdin_ref[...] += _dot_tn(d, dpre, dt)
+    dd_ref[...] = _dot_t(dpre, w["wd_in"], dt)
+    g_h = _dot_t(dpre, w["whh"][7], dt)
+    # density head joins at h7
+    g_h = g_h + _dot_t(g_dens, w["w_dens"], dt)
+    dwdens_ref[...] += _dot_tn(h_list[7], g_dens, dt)
+    dbdens_ref[...] += jnp.sum(g_dens, axis=0, keepdims=True)
+    # L7..L5
+    for i in (7, 6, 5):
+        dpre = layer_bwd(i, g_h)
+        dwhh_acc[i - 1] = _dot_tn(h_list[i - 1], dpre, dt)
+        g_h = _dot_t(dpre, w["whh"][i - 1], dt)
+    # L4 (skip)
+    dpre = layer_bwd(4, g_h)
+    dwhh_acc[3] = _dot_tn(h_list[3], dpre, dt)
+    dwx_ref[...] += _dot_tn(x, dpre, dt)
+    dx = _dot_t(dpre, w["wx"], dt)
+    g_h = _dot_t(dpre, w["whh"][3], dt)
+    # L3..L1
+    for i in (3, 2, 1):
+        dpre = layer_bwd(i, g_h)
+        dwhh_acc[i - 1] = _dot_tn(h_list[i - 1], dpre, dt)
+        g_h = _dot_t(dpre, w["whh"][i - 1], dt)
+    # L0
+    dpre = layer_bwd(0, g_h)
+    dw0_ref[...] += _dot_tn(x, dpre, dt)
+    dx_ref[...] = dx + _dot_t(dpre, w["w0"], dt)
+
+    dwhh_ref[...] += jnp.stack(dwhh_acc)
+    db_ref[...] += jnp.stack(db_acc)
+    dg_ref[...] += jnp.stack(dg_acc)
+    dbeta_ref[...] += jnp.stack(dbeta_acc)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _pad_points(arr: Array, tile: int) -> Tuple[Array, int]:
+    p = arr.shape[0]
+    pad = (-p) % tile
+    if pad:
+        arr = jnp.pad(arr, ((0, pad), (0, 0)))
+    return arr, p
+
+
+def _full_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _tile_spec(tile, width):
+    return pl.BlockSpec(
+        (tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_core(packed, x_enc, d_enc, compute_dtype, interpret):
+    return _fused_fwd_call(packed, x_enc, d_enc, compute_dtype, interpret)
+
+
+def _fused_fwd_call(packed, x_enc, d_enc, compute_dtype, interpret):
+    p = x_enc.shape[0]
+    xe, de = x_enc.shape[1], d_enc.shape[1]
+    cols = 1 + packed["w_col"].shape[1]
+    x_pad, _ = _pad_points(x_enc, TILE_FWD)
+    d_pad, _ = _pad_points(d_enc, TILE_FWD)
+    grid = x_pad.shape[0] // TILE_FWD
+
+    weights = [packed[k] for k in _PACK_ORDER]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, compute_dtype=compute_dtype),
+        out_shape=jax.ShapeDtypeStruct((x_pad.shape[0], cols), jnp.float32),
+        grid=(grid,),
+        in_specs=[
+            _tile_spec(TILE_FWD, xe),
+            _tile_spec(TILE_FWD, de),
+            *[_full_spec(w.shape) for w in weights],
+        ],
+        out_specs=_tile_spec(TILE_FWD, cols),
+        interpret=interpret,
+    )(x_pad, d_pad, *weights)
+    return out[:p]
+
+
+def _fused_fwd_rule(packed, x_enc, d_enc, compute_dtype, interpret):
+    out = _fused_fwd_call(packed, x_enc, d_enc, compute_dtype, interpret)
+    return out, (packed, x_enc, d_enc)
+
+
+def _fused_bwd_rule(compute_dtype, interpret, residuals, g_out):
+    packed, x_enc, d_enc = residuals
+    p = x_enc.shape[0]
+    xe, de = x_enc.shape[1], d_enc.shape[1]
+    x_pad, _ = _pad_points(x_enc, TILE_BWD)
+    d_pad, _ = _pad_points(d_enc, TILE_BWD)
+    g_pad, _ = _pad_points(g_out, TILE_BWD)  # zero pad => zero grads
+    grid = x_pad.shape[0] // TILE_BWD
+
+    weights = [packed[k] for k in _PACK_ORDER]
+    wshapes = {k: packed[k].shape for k in _PACK_ORDER}
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((x_pad.shape[0], xe), jnp.float32),  # dx
+        jax.ShapeDtypeStruct((x_pad.shape[0], de), jnp.float32),  # dd
+        jax.ShapeDtypeStruct(wshapes["w0"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["wx"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["wd_in"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["whh"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["b"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["g"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["beta"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["w_dens"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["b_dens"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["w_col"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["b_col"], jnp.float32),
+    ]
+    out_specs = [
+        _tile_spec(TILE_BWD, xe),
+        _tile_spec(TILE_BWD, de),
+        *[_full_spec(s.shape) for s in out_shapes[2:]],
+    ]
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, compute_dtype=compute_dtype),
+        out_shape=out_shapes,
+        grid=(grid,),
+        in_specs=[
+            _tile_spec(TILE_BWD, xe),
+            _tile_spec(TILE_BWD, de),
+            _tile_spec(TILE_BWD, g_out.shape[1]),
+            *[_full_spec(w.shape) for w in weights],
+        ],
+        out_specs=out_specs,
+        interpret=interpret,
+    )(x_pad, d_pad, g_pad, *weights)
+
+    (dx, dd, dw0, dwx, dwdin, dwhh, db, dg, dbeta, dwdens, dbdens, dwcol,
+     dbcol) = outs
+    d_packed = {
+        "w0": dw0,
+        "wx": dwx,
+        "wd_in": dwdin,
+        "whh": dwhh,
+        "b": db,
+        "g": dg,
+        "beta": dbeta,
+        "w_dens": dwdens,
+        "b_dens": dbdens,
+        "w_col": dwcol,
+        "b_col": dbcol,
+    }
+    return d_packed, dx[:p], dd[:p]
+
+
+_fused_core.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+def classic_mlp_pallas(
+    params: Dict[str, Any],
+    x_enc: Array,
+    d_enc: Array,
+    compute_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> Tuple[Array, Array]:
+    """Fused evaluation of the classic NeRF MLP on encoded points.
+
+    Args:
+        params: ClassicNeRF pytree (``models/mlp.py`` layout).
+        x_enc: ``[..., XE]`` encoded positions.
+        d_enc: ``[..., DE]`` encoded view directions.
+        compute_dtype: matmul input dtype (f32 default; bf16 for speed).
+        interpret: force Pallas interpreter (defaults to auto: interpreter
+            off-TPU so tests run on CPU).
+
+    Returns:
+        ``(density [..., 1], color_logits [..., C])``.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    lead = x_enc.shape[:-1]
+    x2 = x_enc.reshape(-1, x_enc.shape[-1])
+    d2 = d_enc.reshape(-1, d_enc.shape[-1])
+    packed = pack_classic_params(params)
+    out = _fused_core(packed, x2, d2, compute_dtype, interpret)
+    cols = out.shape[-1]
+    out = out.reshape(*lead, cols)
+    return out[..., 0:1], out[..., 1:]
