@@ -88,6 +88,8 @@ class MipNeRFConfig:
     bbox_min: Tuple[float, float, float] = (-20.0, -20.0, -20.0)
     bbox_max: Tuple[float, float, float] = (20.0, 20.0, 20.0)
     ray_shape: str = "cone"
+    # Fused Pallas point-MLP kernel (ops/pallas/fused_mip_mlp.py).
+    use_pallas: bool = False
 
     @property
     def min_deg(self) -> int:

@@ -38,6 +38,8 @@ class SceneData(NamedTuple):
     pose_r: Array  # [B, 3, 3]
     focal: float
     labels: Optional[Array] = None  # [B, H, W] int labels or None
+    states_x: Optional[Array] = None  # [B, Kx] per-scene latents or None
+    states_d: Optional[Array] = None  # [B, Kd]
 
 
 def load_tiny_nerf(path: str) -> SceneData:

@@ -322,6 +322,17 @@ class MipNeRF:
         """
         del states_x, states_d
         means, _, features = self.integrated_pe(rays_o, rays_d, t_vals)
+        if self.cfg.use_pallas:
+            from nerf_tpu.ops.pallas import fused_mip_mlp
+
+            if fused_mip_mlp.supports_mip_config(self.cfg):
+                density, color, segmentation = fused_mip_mlp.mip_mlp_pallas(
+                    params,
+                    features,
+                    self.cfg.num_hidden_layers,
+                    self.cfg.color_outputs,
+                )
+                return means, density, color, segmentation
         density, color, segmentation = mlp_lib.apply_mip_mlp(
             params, self.cfg, features
         )

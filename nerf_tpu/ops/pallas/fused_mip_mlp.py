@@ -1,0 +1,244 @@
+"""Fused Pallas TPU kernel for the HEAD-generation (mip) point MLP.
+
+Same design as ``fused_mlp.py`` (see its module docstring for the
+HBM-traffic rationale), specialized to the HEAD architecture (reference
+``model.py:525-542``): 5 x (Linear -> LayerNorm -> ReLU) then one output
+Linear to ``1 + color + segmentation`` logits.  Note the LN/ReLU ordering
+is the REVERSE of the v1.2 model (LN before ReLU here).
+
+Forward keeps weights + activations VMEM-resident; the custom VJP
+rematerializes the forward per block and accumulates weight gradients
+across the sequential grid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from nerf_tpu.ops.pallas.fused_mlp import (
+    LN_EPS,
+    _dot,
+    _dot_t,
+    _dot_tn,
+    _full_spec,
+    _interpret_default,
+    _pad_points,
+    _tile_spec,
+)
+
+Array = jax.Array
+
+TILE_FWD = 1024
+TILE_BWD = 512
+
+_PACK_ORDER = ("w_in", "whh", "b", "g", "beta", "w_out", "b_out")
+
+
+def pack_mip_params(params: Dict[str, Any]) -> Dict[str, Array]:
+    """Pack the MipNeRF pytree (models/mlp.py layout) into kernel slabs."""
+    layers = params["layers"]
+    return {
+        "w_in": layers[0]["linear"]["w"],                          # [F, H]
+        "whh": jnp.stack([l["linear"]["w"] for l in layers[1:]]),  # [L-1,H,H]
+        "b": jnp.stack([l["linear"]["b"] for l in layers]),        # [L, H]
+        "g": jnp.stack([l["ln"]["scale"] for l in layers]),        # [L, H]
+        "beta": jnp.stack([l["ln"]["bias"] for l in layers]),      # [L, H]
+        "w_out": params["out"]["w"],                               # [H, O]
+        "b_out": params["out"]["b"].reshape(1, -1),                # [1, O]
+    }
+
+
+def supports_mip_config(cfg) -> bool:
+    return cfg.num_hidden_layers >= 2
+
+
+def _ln(z, g_row, beta_row):
+    mu = jnp.mean(z, axis=-1, keepdims=True)
+    var = jnp.mean((z - mu) ** 2, axis=-1, keepdims=True)
+    xhat = (z - mu) * jax.lax.rsqrt(var + LN_EPS)
+    return xhat * g_row[None, :] + beta_row[None, :]
+
+
+def _forward_chain(feat, w, num_layers, dtype):
+    """Returns (z_list, h_list, out): z = linear pre-LN, h = post-ReLU."""
+    z_list, h_list = [], []
+    h = feat
+    for i in range(num_layers):
+        wmat = w["w_in"] if i == 0 else w["whh"][i - 1]
+        z = _dot(h, wmat, dtype) + w["b"][i][None, :]
+        h = jnp.maximum(_ln(z, w["g"][i], w["beta"][i]), 0.0)
+        z_list.append(z)
+        h_list.append(h)
+    out = _dot(h, w["w_out"], dtype) + w["b_out"][0]
+    return z_list, h_list, out
+
+
+def _fwd_kernel(*refs, num_layers, compute_dtype):
+    feat_ref = refs[0]
+    w = {k: r[:] for k, r in zip(_PACK_ORDER, refs[1 : 1 + len(_PACK_ORDER)])}
+    out_ref = refs[1 + len(_PACK_ORDER)]
+    _, _, out = _forward_chain(feat_ref[:], w, num_layers, compute_dtype)
+    out_ref[...] = out
+
+
+def _ln_relu_bwd(g_h, z, g_row, beta_row):
+    """Backward through ReLU(LN(z)); returns (dz, dg_part, dbeta_part)."""
+    mu = jnp.mean(z, axis=-1, keepdims=True)
+    var = jnp.mean((z - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (z - mu) * inv
+    ln_out = xhat * g_row[None, :] + beta_row[None, :]
+    gy = g_h * (ln_out > 0.0)  # relu mask first (relu is outermost)
+    dg = jnp.sum(gy * xhat, axis=0)
+    dbeta = jnp.sum(gy, axis=0)
+    dxhat = gy * g_row[None, :]
+    dz = inv * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    return dz, dg, dbeta
+
+
+def _bwd_kernel(*refs, num_layers, compute_dtype):
+    feat_ref, gout_ref = refs[0], refs[1]
+    w = {k: r[:] for k, r in zip(_PACK_ORDER, refs[2 : 2 + len(_PACK_ORDER)])}
+    (dfeat_ref, dwin_ref, dwhh_ref, db_ref, dg_ref, dbeta_ref, dwout_ref,
+     dbout_ref) = refs[2 + len(_PACK_ORDER) :]
+    dt = compute_dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for ref in (dwin_ref, dwhh_ref, db_ref, dg_ref, dbeta_ref,
+                    dwout_ref, dbout_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    feat = feat_ref[:]
+    z_list, h_list, _ = _forward_chain(feat, w, num_layers, dt)
+
+    g_out = gout_ref[:]
+    dwout_ref[...] += _dot_tn(h_list[-1], g_out, dt)
+    dbout_ref[...] += jnp.sum(g_out, axis=0, keepdims=True)
+    g_h = _dot_t(g_out, w["w_out"], dt)
+
+    dwhh_acc = [None] * (num_layers - 1)
+    for i in range(num_layers - 1, -1, -1):
+        dz, dg_i, dbeta_i = _ln_relu_bwd(g_h, z_list[i], w["g"][i],
+                                         w["beta"][i])
+        dg_ref[i, :] += dg_i
+        dbeta_ref[i, :] += dbeta_i
+        db_ref[i, :] += jnp.sum(dz, axis=0)
+        h_in = feat if i == 0 else h_list[i - 1]
+        if i == 0:
+            dwin_ref[...] += _dot_tn(h_in, dz, dt)
+            dfeat_ref[...] = _dot_t(dz, w["w_in"], dt)
+        else:
+            dwhh_acc[i - 1] = _dot_tn(h_in, dz, dt)
+            g_h = _dot_t(dz, w["whh"][i - 1], dt)
+    dwhh_ref[...] += jnp.stack(dwhh_acc)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_core(packed, feat, num_layers, compute_dtype, interpret):
+    return _fwd_call(packed, feat, num_layers, compute_dtype, interpret)
+
+
+def _fwd_call(packed, feat, num_layers, compute_dtype, interpret):
+    p = feat.shape[0]
+    f = feat.shape[1]
+    o = packed["w_out"].shape[1]
+    feat_pad, _ = _pad_points(feat, TILE_FWD)
+    grid = feat_pad.shape[0] // TILE_FWD
+    weights = [packed[k] for k in _PACK_ORDER]
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, num_layers=num_layers, compute_dtype=compute_dtype
+        ),
+        out_shape=jax.ShapeDtypeStruct((feat_pad.shape[0], o), jnp.float32),
+        grid=(grid,),
+        in_specs=[
+            _tile_spec(TILE_FWD, f),
+            *[_full_spec(w.shape) for w in weights],
+        ],
+        out_specs=_tile_spec(TILE_FWD, o),
+        interpret=interpret,
+    )(feat_pad, *weights)
+    return out[:p]
+
+
+def _fwd_rule(packed, feat, num_layers, compute_dtype, interpret):
+    return (
+        _fwd_call(packed, feat, num_layers, compute_dtype, interpret),
+        (packed, feat),
+    )
+
+
+def _bwd_rule(num_layers, compute_dtype, interpret, residuals, g_out):
+    packed, feat = residuals
+    p, f = feat.shape
+    feat_pad, _ = _pad_points(feat, TILE_BWD)
+    g_pad, _ = _pad_points(g_out, TILE_BWD)
+    grid = feat_pad.shape[0] // TILE_BWD
+    weights = [packed[k] for k in _PACK_ORDER]
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((feat_pad.shape[0], f), jnp.float32),
+        *[jax.ShapeDtypeStruct(packed[k].shape, jnp.float32)
+          for k in _PACK_ORDER],
+    ]
+    outs = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, num_layers=num_layers, compute_dtype=compute_dtype
+        ),
+        out_shape=out_shapes,
+        grid=(grid,),
+        in_specs=[
+            _tile_spec(TILE_BWD, f),
+            _tile_spec(TILE_BWD, g_out.shape[1]),
+            *[_full_spec(w.shape) for w in weights],
+        ],
+        out_specs=[
+            _tile_spec(TILE_BWD, f),
+            *[_full_spec(s.shape) for s in out_shapes[1:]],
+        ],
+        interpret=interpret,
+    )(feat_pad, g_pad, *weights)
+
+    dfeat = outs[0][:p]
+    d_packed = dict(zip(_PACK_ORDER, outs[1:]))
+    return d_packed, dfeat
+
+
+_fused_core.defvjp(_fwd_rule, _bwd_rule)
+
+
+def mip_mlp_pallas(
+    params: Dict[str, Any],
+    features: Array,
+    num_hidden_layers: int,
+    color_outputs: int = 3,
+    compute_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> Tuple[Array, Array, Array]:
+    """Fused evaluation of the HEAD MLP on IPE features.
+
+    Returns ``(density [..., 1], color [..., C], segmentation [..., S])``
+    mirroring ``apply_mip_mlp``.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    lead = features.shape[:-1]
+    f2 = features.reshape(-1, features.shape[-1])
+    packed = pack_mip_params(params)
+    out = _fused_core(packed, f2, num_hidden_layers, compute_dtype, interpret)
+    out = out.reshape(*lead, out.shape[-1])
+    return (
+        out[..., :1],
+        out[..., 1 : 1 + color_outputs],
+        out[..., 1 + color_outputs :],
+    )

@@ -204,6 +204,10 @@ def evaluate(
     )
     b, h, w = scene.images.shape[:3]
     idx = view_index % b
+    if states_x is None:
+        states_x = getattr(scene, "states_x", None)
+    if states_d is None:
+        states_d = getattr(scene, "states_d", None)
     out = model.render_image(
         params,
         None,
