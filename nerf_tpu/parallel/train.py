@@ -45,20 +45,50 @@ def make_parallel_train_step(
 ) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict]]:
     """Jitted SPMD train step: state replicated, batch ray-sharded.
 
-    The returned function expects the batch already placed with
-    ``shard_batch`` (or any layout — XLA will resharde per the in_shardings
-    contract).  Gradient math: the loss is a mean over the global batch, so
-    partitioning the batch axis makes XLA compute per-shard partial sums and
-    all-reduce them — numerically identical to single-device up to float
-    reduction order.
+    The gradient computation runs under ``shard_map``: every device
+    evaluates ONLY its local ray shard (crucial for Pallas kernels, which
+    XLA's automatic partitioner would otherwise wrap in batch all-gathers,
+    replicating the whole computation on every chip) and the per-shard
+    gradients are combined with an explicit ``pmean`` — the psum over ICI
+    that replaces NCCL all-reduce (SURVEY.md §5).  The optimizer update then
+    runs replicated.
+
+    Numerics: with ``randomly_sample=False`` the sharded step is exactly the
+    single-device step (batch-mean loss ⇒ pmean of shard-mean gradients).
+    With stochastic sampling the per-ray noise differs from the
+    single-device run (keys are folded per shard) but is identically
+    distributed.
     """
+    from jax.sharding import PartitionSpec as P
+
+    from jax import shard_map
+
     loss_fn = make_loss_fn(model, render, segmentation_loss_weight)
+    axis = mesh.axis_names[0]
+
+    def local_value_and_grad(params, key, batch):
+        # Decorrelate stochastic sampling across shards.
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, key, batch
+        )
+        grads = jax.lax.pmean(grads, axis)
+        aux = jax.lax.pmean(aux, axis)
+        return grads, aux
+
+    # check_vma=False: Pallas out_shapes carry no varying-mesh-axes
+    # annotation, which the shard_map checker would otherwise reject.
+    sharded_vag = shard_map(
+        local_value_and_grad,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
 
     def step(state: TrainState, batch: Dict[str, Array]):
         key = fold_key(state)
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, key, batch
-        )
+        grads, aux = sharded_vag(state.params, key, batch)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
