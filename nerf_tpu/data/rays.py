@@ -66,11 +66,16 @@ class RayBank:
         labels=None,
         states_x=None,
         states_d=None,
+        use_ndc: bool = False,
+        ndc_near: float = 1.0,
     ) -> "RayBank":
         """Build the bank from ``[B, H, W, 3]`` images and camera poses.
 
         ``poses_o [B, 3]`` / ``poses_r [B, 3, 3]`` mirror the pose split at
         reference ``dataset.py:308`` (``pose[:3, 3]`` / ``pose[:3, :3]``).
+        ``use_ndc`` warps rays to normalized device coordinates for
+        forward-facing (LLFF-style) scenes; train such models with linear
+        sampling on ``near=0, far=1``.
         """
         images = jnp.asarray(images)
         poses_o = jnp.asarray(poses_o)
@@ -80,6 +85,10 @@ class RayBank:
         rays_o, rays_d = cameras.pose_to_rays(
             poses_o, poses_r, h, w, focal_length
         )
+        if use_ndc:
+            rays_o, rays_d = cameras.ndc_rays(
+                rays_o, rays_d, h, w, focal_length, near=ndc_near
+            )
         n = b * h * w
         return RayBank(
             rays_o=rays_o.reshape(n, 3),

@@ -111,7 +111,9 @@ _BLOB_COLORS = np.asarray(
 )
 
 
-def scene_density_color(points: Array) -> Tuple[Array, Array, Array]:
+def scene_density_color(
+    points: Array, field_offset=None
+) -> Tuple[Array, Array, Array]:
     """Analytic density, color, and dominant-blob label at 3-D ``points``.
 
     density(x) = sum_k a_k exp(-|x - c_k|^2 / (2 s_k^2)); color is the
@@ -119,6 +121,8 @@ def scene_density_color(points: Array) -> Tuple[Array, Array, Array]:
     empty space) for segmentation testing.
     """
     centers = jnp.asarray(_BLOB_CENTERS)
+    if field_offset is not None:
+        centers = centers + jnp.asarray(field_offset, centers.dtype)
     sigmas = jnp.asarray(_BLOB_SIGMAS)
     amps = jnp.asarray(_BLOB_DENSITY)
     colors = jnp.asarray(_BLOB_COLORS)
@@ -142,6 +146,7 @@ def render_ground_truth(
     near: float = 2.0,
     far: float = 6.0,
     num_samples: int = 512,
+    field_offset=None,
 ) -> Tuple[Array, Array]:
     """Brute-force quadrature of the volume rendering equation.
 
@@ -156,7 +161,7 @@ def render_ground_truth(
     t = jnp.linspace(near, far, num_samples, dtype=rays_o.dtype)
     t = jnp.broadcast_to(t, rays_o.shape[:-1] + (num_samples,))
     points = rays_o[..., None, :] + rays_d[..., None, :] * t[..., :, None]
-    density, color, label = scene_density_color(points)
+    density, color, label = scene_density_color(points, field_offset)
     dists = compositing.distances_from_tvals(t, rays_d)
     weights = compositing.weights_from_density(density, dists)
     rgb = jnp.sum(weights * color, axis=-2)
@@ -167,6 +172,63 @@ def render_ground_truth(
     leftover = 1.0 - jnp.sum(weights, axis=-2)
     label_probs = label_probs.at[..., 0].add(leftover[..., 0])
     return rgb, jnp.argmax(label_probs, axis=-1)
+
+
+def forward_facing_poses(
+    num: int, spread: float = 0.15
+) -> Tuple[Array, Array]:
+    """LLFF-style forward-facing cameras: a small grid of positions on the
+    plane ``z = 0`` all looking straight down ``-z`` (the OpenGL convention
+    the NDC warp assumes; lateral offsets are small relative to the scene
+    distance, as in real LLFF captures).  NDC pipeline, BASELINE.json
+    config #5."""
+    side = int(np.ceil(np.sqrt(num)))
+    xs = np.linspace(-spread, spread, side)
+    ys = np.linspace(-spread, spread, side)
+    offsets = np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2)
+    offsets = offsets[:num]
+    pose_o = jnp.asarray(
+        np.stack(
+            [offsets[:, 0], offsets[:, 1], np.zeros(num)], -1
+        ).astype(np.float32)
+    )
+    fwd = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, -1.0], jnp.float32), (num, 3)
+    )
+    pose_r = cameras.direction_to_rotation_matrix(fwd)
+    return pose_o, pose_r
+
+
+def synthesize_forward_facing(
+    num_views: int = 9,
+    image_hw: int = 48,
+    focal: float = 60.0,
+    distance: float = 4.0,
+    near: float = 2.0,
+    far: float = 6.5,
+    num_samples: int = 512,
+) -> SceneData:
+    """Forward-facing synthetic dataset for the NDC training path.
+
+    Cameras sit at z=0 looking down -z; the blob field is translated to
+    z = -distance so the whole scene lies beyond the NDC near plane.
+    """
+    pose_o, pose_r = forward_facing_poses(num_views)
+    rays_o, rays_d = cameras.pose_to_rays(
+        pose_o, pose_r, image_hw, image_hw, focal
+    )
+    offset = (0.0, 0.0, -distance)
+    rgb, _ = jax.jit(
+        lambda o, d: render_ground_truth(
+            o, d, near, far, num_samples, field_offset=offset
+        )
+    )(rays_o.reshape(-1, 3), rays_d.reshape(-1, 3))
+    return SceneData(
+        images=rgb.reshape(num_views, image_hw, image_hw, 3),
+        pose_o=pose_o,
+        pose_r=pose_r,
+        focal=float(focal),
+    )
 
 
 def synthesize_scene(

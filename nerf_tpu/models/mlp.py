@@ -68,6 +68,34 @@ def layer_norm(p: Params, x: Array) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# ResidualBlock (reference component #1 — dead code there, kept for parity)
+# ---------------------------------------------------------------------------
+
+
+def init_residual_block(
+    key: jax.Array, hidden_size: int, feedforward_size: int, dtype=jnp.float32
+) -> Params:
+    """Pre-LN-style residual MLP block (reference ``model.py:7-21``:
+    Linear -> GELU -> Linear, LayerNorm over ``x + h``).  The reference
+    never instantiates it (SURVEY.md §2.1 #1); provided for API parity."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "linear_one": _init_linear(k1, hidden_size, feedforward_size, dtype),
+        "linear_two": _init_linear(k2, feedforward_size, hidden_size, dtype),
+        "ln": _init_layer_norm(hidden_size, dtype),
+    }
+
+
+def apply_residual_block(p: Params, x: Array) -> Array:
+    # approximate=False: torch nn.GELU defaults to the exact erf form.
+    h = linear(
+        p["linear_two"],
+        jax.nn.gelu(linear(p["linear_one"], x), approximate=False),
+    )
+    return layer_norm(p["ln"], x + h)
+
+
+# ---------------------------------------------------------------------------
 # Classic (v1.2) architecture
 # ---------------------------------------------------------------------------
 

@@ -274,6 +274,7 @@ class ClassicNeRF:
             self.cfg.color_outputs,
             states_x,
             states_d,
+            use_ndc=render.use_ndc,
         )
         return rgb
 
@@ -442,6 +443,7 @@ def _tiled_over_rays(
     out_channels: int,
     states_x: Optional[Array],
     states_d: Optional[Array],
+    use_ndc: bool = False,
 ) -> Array:
     """Generate the world-space ray grid, pad rays to a tile multiple, and
     ``lax.map`` the per-tile renderer over static-shape tiles.
@@ -454,6 +456,10 @@ def _tiled_over_rays(
     rays_o, rays_d = cameras.pose_to_rays(
         camera_o, camera_r, image_h, image_w, focal_length
     )
+    if use_ndc:
+        rays_o, rays_d = cameras.ndc_rays(
+            rays_o, rays_d, image_h, image_w, focal_length
+        )
     batch = rays_o.shape[0]
     n_rays = batch * image_h * image_w
     rays_o = rays_o.reshape(n_rays, 3)
