@@ -52,6 +52,10 @@ class ClassicNeRFConfig:
     # — weights + activation chain VMEM-resident, rematerialized backward.
     # Falls back to the XLA path for architectures the kernel doesn't cover.
     use_pallas: bool = False
+    # Matmul input dtype for the point MLP ("float32" or "bfloat16").
+    # bfloat16 runs the MXU at full rate with float32 accumulation; params,
+    # LayerNorm statistics, and compositing stay float32.
+    compute_dtype: str = "float32"
 
     @property
     def x_encoding_dim(self) -> int:
@@ -90,6 +94,8 @@ class MipNeRFConfig:
     ray_shape: str = "cone"
     # Fused Pallas point-MLP kernel (ops/pallas/fused_mip_mlp.py).
     use_pallas: bool = False
+    # Matmul input dtype ("float32" or "bfloat16"); see ClassicNeRFConfig.
+    compute_dtype: str = "float32"
 
     @property
     def min_deg(self) -> int:

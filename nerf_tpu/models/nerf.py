@@ -145,7 +145,10 @@ class ClassicNeRF:
 
             if d_enc is not None and fused_mlp.supports_classic_config(self.cfg):
                 density, color = fused_mlp.classic_mlp_pallas(
-                    params, x_enc, d_enc
+                    params,
+                    x_enc,
+                    d_enc,
+                    compute_dtype=jnp.dtype(self.cfg.compute_dtype),
                 )
                 return points, density, color
         density, color = mlp_lib.apply_classic_mlp(params, self.cfg, x_enc, d_enc)
@@ -332,6 +335,7 @@ class MipNeRF:
                     features,
                     self.cfg.num_hidden_layers,
                     self.cfg.color_outputs,
+                    compute_dtype=jnp.dtype(self.cfg.compute_dtype),
                 )
                 return means, density, color, segmentation
         density, color, segmentation = mlp_lib.apply_mip_mlp(

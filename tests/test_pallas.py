@@ -151,3 +151,51 @@ class TestModelIntegration:
         np.testing.assert_array_equal(
             packed["wx"], params["block_1"][0]["linear"]["w"][256:]
         )
+
+
+class TestBfloat16Path:
+    """compute_dtype=bfloat16: MXU-rate matmuls, f32 accumulation.
+
+    bf16 has ~3 decimal digits; forward outputs should track f32 to ~1e-2
+    relative and gradients should keep direction (cosine similarity)."""
+
+    def test_forward_close_to_f32(self, setup):
+        _, _, params, x_enc, d_enc = setup
+        d32, c32 = fused_mlp.classic_mlp_pallas(params, x_enc, d_enc)
+        d16, c16 = fused_mlp.classic_mlp_pallas(
+            params, x_enc, d_enc, compute_dtype=jnp.bfloat16
+        )
+        assert d16.dtype == jnp.float32  # accumulation stays f32
+        np.testing.assert_allclose(d16, d32, rtol=0.1, atol=0.15)
+        np.testing.assert_allclose(c16, c32, rtol=0.1, atol=0.15)
+
+    def test_gradients_keep_direction(self, setup):
+        cfg, _, params, x_enc, d_enc = setup
+
+        def loss(p, dtype):
+            de, co = fused_mlp.classic_mlp_pallas(
+                p, x_enc, d_enc, compute_dtype=dtype
+            )
+            return jnp.mean(de ** 2) + jnp.mean(jnp.sin(co))
+
+        g32 = jax.grad(lambda p: loss(p, jnp.float32))(params)
+        g16 = jax.grad(lambda p: loss(p, jnp.bfloat16))(params)
+        v32 = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g32)])
+        v16 = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g16)])
+        cos = jnp.vdot(v32, v16) / (
+            jnp.linalg.norm(v32) * jnp.linalg.norm(v16)
+        )
+        assert float(cos) > 0.98, float(cos)
+
+    def test_model_config_plumbs_dtype(self):
+        # ClassicNeRF(compute_dtype="bfloat16") must run end to end.
+        cfg = ClassicNeRFConfig(use_pallas=True, compute_dtype="bfloat16")
+        model = ClassicNeRF(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        render = RenderConfig(
+            num_coarse_samples=16, near=2.0, far=6.0, randomly_sample=False
+        )
+        rays_o = jnp.zeros((8, 3))
+        rays_d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (8, 1))
+        out = model.render_rays(params, None, rays_o, rays_d, render)
+        assert np.isfinite(np.asarray(out.rgb)).all()

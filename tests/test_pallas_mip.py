@@ -97,3 +97,28 @@ class TestModelIntegration:
         np.testing.assert_allclose(
             out_p.segmentation, out_x.segmentation, rtol=1e-4, atol=1e-4
         )
+
+
+class TestBfloat16Path:
+    def test_forward_close_to_f32(self, setup):
+        cfg, _, params, feat = setup
+        r32 = fused_mip_mlp.mip_mlp_pallas(
+            params, feat, cfg.num_hidden_layers, cfg.color_outputs
+        )
+        r16 = fused_mip_mlp.mip_mlp_pallas(
+            params, feat, cfg.num_hidden_layers, cfg.color_outputs,
+            compute_dtype=jnp.bfloat16,
+        )
+        for a, b in zip(r16, r32):
+            assert a.dtype == jnp.float32
+            np.testing.assert_allclose(a, b, rtol=0.1, atol=0.15)
+
+    def test_model_config_plumbs_dtype(self):
+        cfg = MipNeRFConfig(use_pallas=True, compute_dtype="bfloat16")
+        model = MipNeRF(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        render = RenderConfig(num_coarse_samples=17, randomly_sample=False)
+        rays_o = jnp.zeros((8, 3))
+        rays_d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (8, 1))
+        out = model.render_rays(params, None, rays_o, rays_d, render)
+        assert np.isfinite(np.asarray(out.rgb)).all()
