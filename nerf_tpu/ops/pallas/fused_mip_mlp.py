@@ -22,6 +22,7 @@ from jax.experimental import pallas as pl
 
 from nerf_tpu.ops.pallas.fused_mlp import (
     LN_EPS,
+    _VMEM_LIMIT,
     _dot,
     _dot_t,
     _dot_tn,
@@ -64,8 +65,12 @@ def _ln(z, g_row, beta_row):
     return xhat * g_row[None, :] + beta_row[None, :]
 
 
-def _forward_chain(feat, w, num_layers, dtype):
-    """Returns (z_list, h_list, out): z = linear pre-LN, h = post-ReLU."""
+def _forward_chain(feat, w, num_layers, dtype, keep_h=True):
+    """Returns (z_list, h_list, out): z = linear pre-LN, h = post-ReLU.
+
+    ``keep_h=False`` drops ``h_list`` — the backward reconstructs each h
+    from the LayerNorm output it recomputes anyway (halves resident chain).
+    """
     z_list, h_list = [], []
     h = feat
     for i in range(num_layers):
@@ -73,7 +78,8 @@ def _forward_chain(feat, w, num_layers, dtype):
         z = _dot(h, wmat, dtype) + w["b"][i][None, :]
         h = jnp.maximum(_ln(z, w["g"][i], w["beta"][i]), 0.0)
         z_list.append(z)
-        h_list.append(h)
+        if keep_h:
+            h_list.append(h)
     out = _dot(h, w["w_out"], dtype) + w["b_out"][0]
     return z_list, h_list, out
 
@@ -87,12 +93,18 @@ def _fwd_kernel(*refs, num_layers, compute_dtype):
 
 
 def _ln_relu_bwd(g_h, z, g_row, beta_row):
-    """Backward through ReLU(LN(z)); returns (dz, dg_part, dbeta_part)."""
+    """Backward through ReLU(LN(z)).
+
+    Returns (dz, dg_part, dbeta_part, h) — h = ReLU(LN(z)) reconstructed
+    for free from the ln_out this already computes, so the backward kernel
+    does not need the post-activation chain stored.
+    """
     mu = jnp.mean(z, axis=-1, keepdims=True)
     var = jnp.mean((z - mu) ** 2, axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + LN_EPS)
     xhat = (z - mu) * inv
     ln_out = xhat * g_row[None, :] + beta_row[None, :]
+    h = jnp.maximum(ln_out, 0.0)
     gy = g_h * (ln_out > 0.0)  # relu mask first (relu is outermost)
     dg = jnp.sum(gy * xhat, axis=0)
     dbeta = jnp.sum(gy, axis=0)
@@ -102,7 +114,7 @@ def _ln_relu_bwd(g_h, z, g_row, beta_row):
         - jnp.mean(dxhat, axis=-1, keepdims=True)
         - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     )
-    return dz, dg, dbeta
+    return dz, dg, dbeta, h
 
 
 def _bwd_kernel(*refs, num_layers, compute_dtype):
@@ -119,28 +131,31 @@ def _bwd_kernel(*refs, num_layers, compute_dtype):
             ref[...] = jnp.zeros_like(ref)
 
     feat = feat_ref[:]
-    z_list, h_list, _ = _forward_chain(feat, w, num_layers, dt)
+    # Rematerialize only the pre-LN chain; each h is reconstructed during
+    # the backward sweep.  ``dwhh[j] = h_j^T dz_{j+1}`` is emitted one layer
+    # late (``dz_next`` carries dz_{j+1}), straight into the output refs.
+    z_list, _, _ = _forward_chain(feat, w, num_layers, dt, keep_h=False)
 
     g_out = gout_ref[:]
-    dwout_ref[...] += _dot_tn(h_list[-1], g_out, dt)
     dbout_ref[...] += jnp.sum(g_out, axis=0, keepdims=True)
     g_h = _dot_t(g_out, w["w_out"], dt)
 
-    dwhh_acc = [None] * (num_layers - 1)
+    dz_next = None
     for i in range(num_layers - 1, -1, -1):
-        dz, dg_i, dbeta_i = _ln_relu_bwd(g_h, z_list[i], w["g"][i],
-                                         w["beta"][i])
+        if dz_next is not None:
+            g_h = _dot_t(dz_next, w["whh"][i], dt)
+        dz, dg_i, dbeta_i, h_i = _ln_relu_bwd(g_h, z_list[i], w["g"][i],
+                                              w["beta"][i])
         dg_ref[i, :] += dg_i
         dbeta_ref[i, :] += dbeta_i
         db_ref[i, :] += jnp.sum(dz, axis=0)
-        h_in = feat if i == 0 else h_list[i - 1]
-        if i == 0:
-            dwin_ref[...] += _dot_tn(h_in, dz, dt)
-            dfeat_ref[...] = _dot_t(dz, w["w_in"], dt)
+        if i == num_layers - 1:
+            dwout_ref[...] += _dot_tn(h_i, g_out, dt)
         else:
-            dwhh_acc[i - 1] = _dot_tn(h_in, dz, dt)
-            g_h = _dot_t(dz, w["whh"][i - 1], dt)
-    dwhh_ref[...] += jnp.stack(dwhh_acc)
+            dwhh_ref[i, :, :] += _dot_tn(h_i, dz_next, dt)
+        dz_next = dz
+    dwin_ref[...] += _dot_tn(feat, dz_next, dt)
+    dfeat_ref[...] = _dot_t(dz_next, w["w_in"], dt)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -167,6 +182,7 @@ def _fwd_call(packed, feat, num_layers, compute_dtype, interpret):
         ],
         out_specs=_tile_spec(TILE_FWD, o),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(feat_pad, *weights)
     return out[:p]
 
@@ -207,6 +223,7 @@ def _bwd_rule(num_layers, compute_dtype, interpret, residuals, g_out):
             *[_full_spec(s.shape) for s in out_shapes[1:]],
         ],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(feat_pad, g_pad, *weights)
 
     dfeat = outs[0][:p]

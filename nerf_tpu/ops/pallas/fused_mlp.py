@@ -46,9 +46,17 @@ NUM_LAYERS = 10
 NUM_HH = 9  # H->H weight slabs: L1..L9
 
 # Forward processes bigger point blocks than backward (backward also holds
-# the recomputed activation chain + weight-gradient accumulators in VMEM).
+# the recomputed pre-LN activation chain + weight-gradient accumulators in
+# VMEM: 10 x [TILE, H] f32 + 2 x ~2.6 MB of weights/grad accumulators).
+# Swept on a real v5e chip: 256 beats 512/1024 for backward (smaller tiles
+# pipeline better against the sequential weight-grad accumulation).
 TILE_FWD = 1024
 TILE_BWD = 256
+
+# The backward working set exceeds XLA's default 16 MiB scoped-VMEM budget
+# at TILE_BWD=512; physical VMEM on v5e/v5p is far larger, so raise the
+# per-kernel cap instead of shrinking the tile.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _interpret_default() -> bool:
@@ -154,14 +162,21 @@ def _dot_tn(a, b, dtype):
     )
 
 
-def _forward_chain(x, d, w, dtype):
-    """Shared fwd math: returns (a_list, h_list, density, color)."""
+def _forward_chain(x, d, w, dtype, keep_h=True):
+    """Shared fwd math: returns (a_list, h_list, density, color).
+
+    With ``keep_h=False`` the post-LN activations are not retained
+    (``h_list`` is empty) — the backward kernel reconstructs each ``h``
+    from the ``xhat`` it already computes for the LayerNorm backward,
+    halving the VMEM the activation chain occupies.
+    """
     a_list, h_list = [], []
 
     def layer(i, pre):
         a, out = _layer_fwd(pre, w["b"][i], w["g"][i], w["beta"][i])
         a_list.append(a)
-        h_list.append(out)
+        if keep_h:
+            h_list.append(out)
         return out
 
     h = layer(0, _dot(x, w["w0"], dtype))
@@ -189,16 +204,19 @@ def _fwd_kernel(*refs, compute_dtype):
     out_ref[:, 1:] = color
 
 
-def _ln_relu_bwd(g_out, a, g_row):
+def _ln_relu_bwd(g_out, a, g_row, beta_row):
     """Backward through LayerNorm(ReLU-output a) given dL/d(layer out).
 
-    Returns (dpre, dg_partial, dbeta_partial) where dpre is dL/d(linear
-    pre-activation + bias input), i.e. after the ReLU mask.
+    Returns (dpre, dg_partial, dbeta_partial, h) where dpre is dL/d(linear
+    pre-activation + bias input), i.e. after the ReLU mask, and h is the
+    reconstructed layer output ``xhat * g + beta`` (free given xhat; lets
+    the backward kernel avoid storing the post-LN chain).
     """
     mu = jnp.mean(a, axis=-1, keepdims=True)
     var = jnp.mean((a - mu) ** 2, axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + LN_EPS)
     xhat = (a - mu) * inv
+    h = xhat * g_row[None, :] + beta_row[None, :]
     dg = jnp.sum(g_out * xhat, axis=0)
     dbeta = jnp.sum(g_out, axis=0)
     dxhat = g_out * g_row[None, :]
@@ -208,7 +226,7 @@ def _ln_relu_bwd(g_out, a, g_row):
         - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     )
     dpre = da * (a > 0.0)
-    return dpre, dg, dbeta
+    return dpre, dg, dbeta, h
 
 
 def _bwd_kernel(*refs, compute_dtype):
@@ -230,68 +248,70 @@ def _bwd_kernel(*refs, compute_dtype):
                     dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref):
             ref[...] = jnp.zeros_like(ref)
 
-    # Recompute the forward chain in VMEM (rematerialization).
-    a_list, h_list, _, _ = _forward_chain(x, d, w, dt)
+    # Recompute the pre-LN forward chain in VMEM (rematerialization).  The
+    # post-LN outputs are NOT kept: each ``h_j`` is reconstructed from the
+    # xhat the LayerNorm backward computes anyway, so the resident chain is
+    # 10 x [TILE, H] instead of 20 x — which is what lets TILE_BWD be 512.
+    a_list, _, _, _ = _forward_chain(x, d, w, dt, keep_h=False)
 
     g_dens = gout_ref[:, 0:1]
     g_col = gout_ref[:, 1:]
 
-    db_acc = [None] * NUM_LAYERS
-    dg_acc = [None] * NUM_LAYERS
-    dbeta_acc = [None] * NUM_LAYERS
-    dwhh_acc = [None] * NUM_HH
-
-    # color head
-    g_h9 = _dot_t(g_col, w["w_col"], dt)
-    dwcol_ref[...] += _dot_tn(h_list[9], g_col, dt)
-    dbcol_ref[...] += jnp.sum(g_col, axis=0, keepdims=True)
-
     def layer_bwd(i, g_h):
-        dpre, dg_i, dbeta_i = _ln_relu_bwd(g_h, a_list[i], w["g"][i])
-        dg_acc[i] = dg_i
-        dbeta_acc[i] = dbeta_i
-        db_acc[i] = jnp.sum(dpre, axis=0)
-        return dpre
+        dpre, dg_i, dbeta_i, h_i = _ln_relu_bwd(
+            g_h, a_list[i], w["g"][i], w["beta"][i]
+        )
+        # Accumulate straight into the output refs (constant index maps keep
+        # the same VMEM block resident across grid steps) — holding per-layer
+        # temporaries to stack at the end would double VMEM pressure.
+        dg_ref[i, :] += dg_i
+        dbeta_ref[i, :] += dbeta_i
+        db_ref[i, :] += jnp.sum(dpre, axis=0)
+        return dpre, h_i
 
-    # L9
-    dpre = layer_bwd(9, g_h9)
-    dwhh_acc[8] = _dot_tn(h_list[8], dpre, dt)
-    g_h = _dot_t(dpre, w["whh"][8], dt)
+    def acc_dwhh(j, h_j, dpre_next):
+        dwhh_ref[j, :, :] += _dot_tn(h_j, dpre_next, dt)
+
+    # ``dwhh[j] = h_j^T dpre_{j+1}`` is emitted one layer late, when
+    # layer j's backward reconstructs h_j (``dpre_next`` carries dpre_{j+1}).
+    # L9 + color head
+    dpre_next, h9 = layer_bwd(9, _dot_t(g_col, w["w_col"], dt))
+    dwcol_ref[...] += _dot_tn(h9, g_col, dt)
+    dbcol_ref[...] += jnp.sum(g_col, axis=0, keepdims=True)
     # L8 (view conditioning)
-    dpre = layer_bwd(8, g_h)
-    dwhh_acc[7] = _dot_tn(h_list[7], dpre, dt)
+    dpre, h8 = layer_bwd(8, _dot_t(dpre_next, w["whh"][8], dt))
+    acc_dwhh(8, h8, dpre_next)
     dwdin_ref[...] += _dot_tn(d, dpre, dt)
     dd_ref[...] = _dot_t(dpre, w["wd_in"], dt)
-    g_h = _dot_t(dpre, w["whh"][7], dt)
-    # density head joins at h7
-    g_h = g_h + _dot_t(g_dens, w["w_dens"], dt)
-    dwdens_ref[...] += _dot_tn(h_list[7], g_dens, dt)
+    dpre_next = dpre
+    # L7 (density head joins at h7)
+    g_h = _dot_t(dpre_next, w["whh"][7], dt) + _dot_t(g_dens, w["w_dens"], dt)
+    dpre, h7 = layer_bwd(7, g_h)
+    acc_dwhh(7, h7, dpre_next)
+    dwdens_ref[...] += _dot_tn(h7, g_dens, dt)
     dbdens_ref[...] += jnp.sum(g_dens, axis=0, keepdims=True)
-    # L7..L5
-    for i in (7, 6, 5):
-        dpre = layer_bwd(i, g_h)
-        dwhh_acc[i - 1] = _dot_tn(h_list[i - 1], dpre, dt)
-        g_h = _dot_t(dpre, w["whh"][i - 1], dt)
+    dpre_next = dpre
+    # L6..L5
+    for j in (6, 5):
+        dpre, h_j = layer_bwd(j, _dot_t(dpre_next, w["whh"][j], dt))
+        acc_dwhh(j, h_j, dpre_next)
+        dpre_next = dpre
     # L4 (skip)
-    dpre = layer_bwd(4, g_h)
-    dwhh_acc[3] = _dot_tn(h_list[3], dpre, dt)
+    dpre, h4 = layer_bwd(4, _dot_t(dpre_next, w["whh"][4], dt))
+    acc_dwhh(4, h4, dpre_next)
     dwx_ref[...] += _dot_tn(x, dpre, dt)
     dx = _dot_t(dpre, w["wx"], dt)
-    g_h = _dot_t(dpre, w["whh"][3], dt)
+    dpre_next = dpre
     # L3..L1
-    for i in (3, 2, 1):
-        dpre = layer_bwd(i, g_h)
-        dwhh_acc[i - 1] = _dot_tn(h_list[i - 1], dpre, dt)
-        g_h = _dot_t(dpre, w["whh"][i - 1], dt)
+    for j in (3, 2, 1):
+        dpre, h_j = layer_bwd(j, _dot_t(dpre_next, w["whh"][j], dt))
+        acc_dwhh(j, h_j, dpre_next)
+        dpre_next = dpre
     # L0
-    dpre = layer_bwd(0, g_h)
+    dpre, h0 = layer_bwd(0, _dot_t(dpre_next, w["whh"][0], dt))
+    acc_dwhh(0, h0, dpre_next)
     dw0_ref[...] += _dot_tn(x, dpre, dt)
     dx_ref[...] = dx + _dot_t(dpre, w["w0"], dt)
-
-    dwhh_ref[...] += jnp.stack(dwhh_acc)
-    db_ref[...] += jnp.stack(db_acc)
-    dg_ref[...] += jnp.stack(dg_acc)
-    dbeta_ref[...] += jnp.stack(dbeta_acc)
 
 
 # ---------------------------------------------------------------------------
@@ -343,6 +363,7 @@ def _fused_fwd_call(packed, x_enc, d_enc, compute_dtype, interpret):
         ],
         out_specs=_tile_spec(TILE_FWD, cols),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(x_pad, d_pad, *weights)
     return out[:p]
 
@@ -397,6 +418,7 @@ def _fused_bwd_rule(compute_dtype, interpret, residuals, g_out):
         ],
         out_specs=out_specs,
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(x_pad, d_pad, g_pad, *weights)
 
     (dx, dd, dw0, dwx, dwdin, dwhh, db, dg, dbeta, dwdens, dbdens, dwcol,
