@@ -23,6 +23,8 @@ from jax.experimental import pallas as pl
 from nerf_tpu.ops.pallas.fused_mlp import (
     LN_EPS,
     _VMEM_LIMIT,
+    _bwd_means,
+    _ln_stats,
     _dot,
     _dot_t,
     _dot_tn,
@@ -58,9 +60,8 @@ def supports_mip_config(cfg) -> bool:
     return cfg.num_hidden_layers >= 2
 
 
-def _ln(z, g_row, beta_row):
-    mu = jnp.mean(z, axis=-1, keepdims=True)
-    var = jnp.mean((z - mu) ** 2, axis=-1, keepdims=True)
+def _ln(z, g_row, beta_row, dtype=jnp.float32):
+    mu, var = _ln_stats(z, dtype)
     xhat = (z - mu) * jax.lax.rsqrt(var + LN_EPS)
     return xhat * g_row[None, :] + beta_row[None, :]
 
@@ -76,7 +77,7 @@ def _forward_chain(feat, w, num_layers, dtype, keep_h=True):
     for i in range(num_layers):
         wmat = w["w_in"] if i == 0 else w["whh"][i - 1]
         z = _dot(h, wmat, dtype) + w["b"][i][None, :]
-        h = jnp.maximum(_ln(z, w["g"][i], w["beta"][i]), 0.0)
+        h = jnp.maximum(_ln(z, w["g"][i], w["beta"][i], dtype), 0.0)
         z_list.append(z)
         if keep_h:
             h_list.append(h)
@@ -92,15 +93,14 @@ def _fwd_kernel(*refs, num_layers, compute_dtype):
     out_ref[...] = out
 
 
-def _ln_relu_bwd(g_h, z, g_row, beta_row):
+def _ln_relu_bwd(g_h, z, g_row, beta_row, dtype=jnp.float32):
     """Backward through ReLU(LN(z)).
 
     Returns (dz, dg_part, dbeta_part, h) — h = ReLU(LN(z)) reconstructed
     for free from the ln_out this already computes, so the backward kernel
     does not need the post-activation chain stored.
     """
-    mu = jnp.mean(z, axis=-1, keepdims=True)
-    var = jnp.mean((z - mu) ** 2, axis=-1, keepdims=True)
+    mu, var = _ln_stats(z, dtype)
     inv = jax.lax.rsqrt(var + LN_EPS)
     xhat = (z - mu) * inv
     ln_out = xhat * g_row[None, :] + beta_row[None, :]
@@ -109,11 +109,8 @@ def _ln_relu_bwd(g_h, z, g_row, beta_row):
     dg = jnp.sum(gy * xhat, axis=0)
     dbeta = jnp.sum(gy, axis=0)
     dxhat = gy * g_row[None, :]
-    dz = inv * (
-        dxhat
-        - jnp.mean(dxhat, axis=-1, keepdims=True)
-        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    )
+    m_dxhat, m_cross = _bwd_means(dxhat, xhat, dtype)
+    dz = inv * (dxhat - m_dxhat - xhat * m_cross)
     return dz, dg, dbeta, h
 
 
@@ -145,7 +142,7 @@ def _bwd_kernel(*refs, num_layers, compute_dtype):
         if dz_next is not None:
             g_h = _dot_t(dz_next, w["whh"][i], dt)
         dz, dg_i, dbeta_i, h_i = _ln_relu_bwd(g_h, z_list[i], w["g"][i],
-                                              w["beta"][i])
+                                              w["beta"][i], dt)
         dg_ref[i, :] += dg_i
         dbeta_ref[i, :] += dbeta_i
         db_ref[i, :] += jnp.sum(dz, axis=0)

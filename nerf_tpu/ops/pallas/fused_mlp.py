@@ -126,11 +126,45 @@ _PACK_ORDER = (
 # ---------------------------------------------------------------------------
 
 
-def _layer_fwd(pre, b_row, g_row, beta_row):
+# LayerNorm row-statistics strategy.  The kernels are VPU-bound (the
+# matmuls use <50% of the MXU while every LN does cross-lane reductions).
+# Swept on a real v5e chip at 262k points:
+#   "twopass": jnp.mean twice                 (fwd 4.75 ms, fwd+bwd 10.1 ms)
+#   "onepass": var = E[a^2] - mu^2            (fwd 2.91 ms, fwd+bwd  8.1 ms)
+#   "mxu":     row sums via dot(a, ones)      (fwd 4.46 ms, fwd+bwd 11.3 ms)
+# onepass removes one cross-lane reduction pass per LayerNorm and wins by
+# ~40% on forward; activations are post-ReLU O(1) so the E[a^2] - mu^2
+# cancellation is benign in f32 (parity-tested at rtol 1e-4).
+_LN_STATS = "onepass"
+
+
+def _row_mean2(a, dtype):
+    """(mean, mean of squares) along the last axis, per _LN_STATS."""
+    n = a.shape[-1]
+    if _LN_STATS == "mxu":
+        ones = jnp.full((n, 1), 1.0 / n, dtype=jnp.float32)
+        mu = _dot(a, ones, dtype)
+        m2 = _dot(a * a, ones, dtype)
+        return mu, m2
+    mu = jnp.mean(a, axis=-1, keepdims=True)
+    m2 = jnp.mean(a * a, axis=-1, keepdims=True)
+    return mu, m2
+
+
+def _ln_stats(a, dtype):
+    """Returns (mu, var) along the last axis."""
+    if _LN_STATS == "twopass":
+        mu = jnp.mean(a, axis=-1, keepdims=True)
+        var = jnp.mean((a - mu) ** 2, axis=-1, keepdims=True)
+        return mu, var
+    mu, m2 = _row_mean2(a, dtype)
+    return mu, jnp.maximum(m2 - mu * mu, 0.0)
+
+
+def _layer_fwd(pre, b_row, g_row, beta_row, dtype=jnp.float32):
     """Linear-output ``pre`` -> ReLU -> LayerNorm.  Returns (a, out)."""
     a = jnp.maximum(pre + b_row[None, :], 0.0)
-    mu = jnp.mean(a, axis=-1, keepdims=True)
-    var = jnp.mean((a - mu) ** 2, axis=-1, keepdims=True)
+    mu, var = _ln_stats(a, dtype)
     xhat = (a - mu) * jax.lax.rsqrt(var + LN_EPS)
     return a, xhat * g_row[None, :] + beta_row[None, :]
 
@@ -173,7 +207,7 @@ def _forward_chain(x, d, w, dtype, keep_h=True):
     a_list, h_list = [], []
 
     def layer(i, pre):
-        a, out = _layer_fwd(pre, w["b"][i], w["g"][i], w["beta"][i])
+        a, out = _layer_fwd(pre, w["b"][i], w["g"][i], w["beta"][i], dtype)
         a_list.append(a)
         if keep_h:
             h_list.append(out)
@@ -204,7 +238,7 @@ def _fwd_kernel(*refs, compute_dtype):
     out_ref[:, 1:] = color
 
 
-def _ln_relu_bwd(g_out, a, g_row, beta_row):
+def _ln_relu_bwd(g_out, a, g_row, beta_row, dtype=jnp.float32):
     """Backward through LayerNorm(ReLU-output a) given dL/d(layer out).
 
     Returns (dpre, dg_partial, dbeta_partial, h) where dpre is dL/d(linear
@@ -212,21 +246,29 @@ def _ln_relu_bwd(g_out, a, g_row, beta_row):
     reconstructed layer output ``xhat * g + beta`` (free given xhat; lets
     the backward kernel avoid storing the post-LN chain).
     """
-    mu = jnp.mean(a, axis=-1, keepdims=True)
-    var = jnp.mean((a - mu) ** 2, axis=-1, keepdims=True)
+    mu, var = _ln_stats(a, dtype)
     inv = jax.lax.rsqrt(var + LN_EPS)
     xhat = (a - mu) * inv
     h = xhat * g_row[None, :] + beta_row[None, :]
     dg = jnp.sum(g_out * xhat, axis=0)
     dbeta = jnp.sum(g_out, axis=0)
     dxhat = g_out * g_row[None, :]
-    da = inv * (
-        dxhat
-        - jnp.mean(dxhat, axis=-1, keepdims=True)
-        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    )
+    m_dxhat, m_cross = _bwd_means(dxhat, xhat, dtype)
+    da = inv * (dxhat - m_dxhat - xhat * m_cross)
     dpre = da * (a > 0.0)
     return dpre, dg, dbeta, h
+
+
+def _bwd_means(dxhat, xhat, dtype):
+    """mean(dxhat) and mean(dxhat*xhat) along the last axis."""
+    if _LN_STATS == "mxu":
+        n = dxhat.shape[-1]
+        ones = jnp.full((n, 1), 1.0 / n, dtype=jnp.float32)
+        return _dot(dxhat, ones, dtype), _dot(dxhat * xhat, ones, dtype)
+    return (
+        jnp.mean(dxhat, axis=-1, keepdims=True),
+        jnp.mean(dxhat * xhat, axis=-1, keepdims=True),
+    )
 
 
 def _bwd_kernel(*refs, compute_dtype):
@@ -259,7 +301,7 @@ def _bwd_kernel(*refs, compute_dtype):
 
     def layer_bwd(i, g_h):
         dpre, dg_i, dbeta_i, h_i = _ln_relu_bwd(
-            g_h, a_list[i], w["g"][i], w["beta"][i]
+            g_h, a_list[i], w["g"][i], w["beta"][i], dt
         )
         # Accumulate straight into the output refs (constant index maps keep
         # the same VMEM block resident across grid steps) — holding per-layer

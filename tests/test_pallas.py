@@ -55,8 +55,25 @@ class TestForwardParity:
         np.testing.assert_allclose(d_half, d_full[:350], rtol=1e-5)
 
 
+@pytest.fixture
+def exact_ln_stats():
+    """Pin the LN-statistics mode to the two-pass formula.
+
+    The default "onepass" mode (var = E[a^2] - mu^2) is mathematically
+    identical but sums in a different order; the gradient through the
+    10-layer LN chain amplifies that ~1e-7 forward rounding to ~1e-3
+    relative (verified: pure-jnp autodiff shows the same spread between
+    the two formulas with a bit-identical forward).  Exact-parity tests
+    therefore run under "twopass"; TestOnepassStats covers the default.
+    """
+    prev = fused_mlp._LN_STATS
+    fused_mlp._LN_STATS = "twopass"
+    yield
+    fused_mlp._LN_STATS = prev
+
+
 class TestGradientParity:
-    def test_all_gradients_match_xla(self, setup):
+    def test_all_gradients_match_xla(self, setup, exact_ln_stats):
         cfg, _, params, x_enc, d_enc = setup
 
         def loss_of(fn):
@@ -86,7 +103,7 @@ class TestGradientParity:
                 err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
             )
 
-    def test_padding_does_not_pollute_weight_grads(self, setup):
+    def test_padding_does_not_pollute_weight_grads(self, setup, exact_ln_stats):
         # Weight grads from a 300-point batch must equal the XLA grads —
         # the zero-padded tail rows must contribute nothing.
         cfg, _, params, x_enc, d_enc = setup
@@ -105,6 +122,47 @@ class TestGradientParity:
         b = np.asarray(g_pal["block_0"][0]["linear"]["w"])
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / scale, a / scale, atol=2e-5)
+
+
+class TestOnepassStats:
+    """The default onepass LN statistics: same math, different summation
+    order — forward must match exactly, gradients in direction/magnitude."""
+
+    def test_forward_identical(self, setup):
+        cfg, _, params, x_enc, d_enc = setup
+        fused_mlp._LN_STATS = "onepass"
+        d1, c1 = fused_mlp.classic_mlp_pallas(params, x_enc, d_enc)
+        try:
+            fused_mlp._LN_STATS = "twopass"
+            d2, c2 = fused_mlp.classic_mlp_pallas(params, x_enc, d_enc)
+        finally:
+            fused_mlp._LN_STATS = "onepass"
+        np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(c1, c2, rtol=1e-5, atol=1e-5)
+
+    def test_gradients_close_to_xla(self, setup):
+        cfg, _, params, x_enc, d_enc = setup
+
+        def loss(fn):
+            return lambda p: jnp.mean(fn(p)[1] ** 2)
+
+        g_ref = jax.grad(
+            loss(lambda p: apply_classic_mlp(p, cfg, x_enc, d_enc))
+        )(params)
+        g_pal = jax.grad(
+            loss(lambda p: fused_mlp.classic_mlp_pallas(p, x_enc, d_enc))
+        )(params)
+        v_ref = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g_ref)])
+        v_pal = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g_pal)])
+        cos = jnp.vdot(v_ref, v_pal) / (
+            jnp.linalg.norm(v_ref) * jnp.linalg.norm(v_pal)
+        )
+        # The LN chain of an *untrained* net amplifies the summation-order
+        # difference; 0.999 cosine is far tighter than bf16 (0.987), which
+        # itself trains to PSNR identical to f32 (verified on chip).
+        assert float(cos) > 0.999, float(cos)
+        rel = jnp.linalg.norm(v_pal - v_ref) / jnp.linalg.norm(v_ref)
+        assert float(rel) < 5e-2, float(rel)
 
 
 class TestModelIntegration:
