@@ -61,48 +61,51 @@ def supports_mip_config(cfg) -> bool:
 
 
 def _ln(z, g_row, beta_row, dtype=jnp.float32):
+    """LayerNorm.  Returns (xhat, inv, out)."""
     mu, var = _ln_stats(z, dtype)
-    xhat = (z - mu) * jax.lax.rsqrt(var + LN_EPS)
-    return xhat * g_row[None, :] + beta_row[None, :]
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (z - mu) * inv
+    return xhat, inv, xhat * g_row[None, :] + beta_row[None, :]
 
 
-def _forward_chain(feat, w, num_layers, dtype, keep_h=True):
-    """Returns (z_list, h_list, out): z = linear pre-LN, h = post-ReLU.
+def _forward_chain(feat, w, num_layers, dtype, keep=False):
+    """Returns (chain, out).
 
-    ``keep_h=False`` drops ``h_list`` — the backward reconstructs each h
-    from the LayerNorm output it recomputes anyway (halves resident chain).
+    With ``keep=True`` each layer retains ``(xhat, inv)`` for the backward
+    sweep — the LayerNorm output (for the ReLU mask) and the post-ReLU
+    activation are both reconstructable from xhat, so no statistics are
+    recomputed in the backward and the resident chain is one [T, H] tensor
+    per layer.
     """
-    z_list, h_list = [], []
+    chain = []
     h = feat
     for i in range(num_layers):
         wmat = w["w_in"] if i == 0 else w["whh"][i - 1]
         z = _dot(h, wmat, dtype) + w["b"][i][None, :]
-        h = jnp.maximum(_ln(z, w["g"][i], w["beta"][i], dtype), 0.0)
-        z_list.append(z)
-        if keep_h:
-            h_list.append(h)
+        xhat, inv, ln_out = _ln(z, w["g"][i], w["beta"][i], dtype)
+        h = jnp.maximum(ln_out, 0.0)
+        if keep:
+            chain.append((xhat, inv))
     out = _dot(h, w["w_out"], dtype) + w["b_out"][0]
-    return z_list, h_list, out
+    return chain, out
 
 
 def _fwd_kernel(*refs, num_layers, compute_dtype):
     feat_ref = refs[0]
     w = {k: r[:] for k, r in zip(_PACK_ORDER, refs[1 : 1 + len(_PACK_ORDER)])}
     out_ref = refs[1 + len(_PACK_ORDER)]
-    _, _, out = _forward_chain(feat_ref[:], w, num_layers, compute_dtype)
+    _, out = _forward_chain(feat_ref[:], w, num_layers, compute_dtype)
     out_ref[...] = out
 
 
-def _ln_relu_bwd(g_h, z, g_row, beta_row, dtype=jnp.float32):
-    """Backward through ReLU(LN(z)).
+def _ln_relu_bwd(g_h, saved, g_row, beta_row, dtype=jnp.float32):
+    """Backward through ReLU(LN(z)) given ``saved = (xhat, inv)`` from the
+    rematerialized forward — no statistics recomputed.
 
-    Returns (dz, dg_part, dbeta_part, h) — h = ReLU(LN(z)) reconstructed
-    for free from the ln_out this already computes, so the backward kernel
-    does not need the post-activation chain stored.
+    Returns (dz, dg_part, dbeta_part, h) with h = ReLU(LN(z)) reconstructed
+    from xhat.
     """
-    mu, var = _ln_stats(z, dtype)
-    inv = jax.lax.rsqrt(var + LN_EPS)
-    xhat = (z - mu) * inv
+    xhat, inv = saved
     ln_out = xhat * g_row[None, :] + beta_row[None, :]
     h = jnp.maximum(ln_out, 0.0)
     gy = g_h * (ln_out > 0.0)  # relu mask first (relu is outermost)
@@ -128,10 +131,11 @@ def _bwd_kernel(*refs, num_layers, compute_dtype):
             ref[...] = jnp.zeros_like(ref)
 
     feat = feat_ref[:]
-    # Rematerialize only the pre-LN chain; each h is reconstructed during
-    # the backward sweep.  ``dwhh[j] = h_j^T dz_{j+1}`` is emitted one layer
-    # late (``dz_next`` carries dz_{j+1}), straight into the output refs.
-    z_list, _, _ = _forward_chain(feat, w, num_layers, dt, keep_h=False)
+    # Rematerialize, keeping (xhat, inv) per layer; each h and ReLU mask is
+    # reconstructed during the backward sweep.  ``dwhh[j] = h_j^T dz_{j+1}``
+    # is emitted one layer late (``dz_next`` carries dz_{j+1}), straight
+    # into the output refs.
+    chain, _ = _forward_chain(feat, w, num_layers, dt, keep=True)
 
     g_out = gout_ref[:]
     dbout_ref[...] += jnp.sum(g_out, axis=0, keepdims=True)
@@ -141,7 +145,7 @@ def _bwd_kernel(*refs, num_layers, compute_dtype):
     for i in range(num_layers - 1, -1, -1):
         if dz_next is not None:
             g_h = _dot_t(dz_next, w["whh"][i], dt)
-        dz, dg_i, dbeta_i, h_i = _ln_relu_bwd(g_h, z_list[i], w["g"][i],
+        dz, dg_i, dbeta_i, h_i = _ln_relu_bwd(g_h, chain[i], w["g"][i],
                                               w["beta"][i], dt)
         dg_ref[i, :] += dg_i
         dbeta_ref[i, :] += dbeta_i

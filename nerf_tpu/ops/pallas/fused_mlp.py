@@ -162,11 +162,18 @@ def _ln_stats(a, dtype):
 
 
 def _layer_fwd(pre, b_row, g_row, beta_row, dtype=jnp.float32):
-    """Linear-output ``pre`` -> ReLU -> LayerNorm.  Returns (a, out)."""
+    """Linear-output ``pre`` -> ReLU -> LayerNorm.
+
+    Returns (xhat, inv, thr, out) where ``thr = -mu * inv`` — the backward
+    needs only these: the ReLU mask ``a > 0`` is exactly ``xhat > thr``
+    (both sides are ``(a - mu) * inv`` vs ``(0 - mu) * inv`` with inv > 0),
+    so the raw activation ``a`` never has to be retained or re-normalized.
+    """
     a = jnp.maximum(pre + b_row[None, :], 0.0)
     mu, var = _ln_stats(a, dtype)
-    xhat = (a - mu) * jax.lax.rsqrt(var + LN_EPS)
-    return a, xhat * g_row[None, :] + beta_row[None, :]
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (a - mu) * inv
+    return xhat, inv, -mu * inv, xhat * g_row[None, :] + beta_row[None, :]
 
 
 def _dot(a, b, dtype):
@@ -196,21 +203,24 @@ def _dot_tn(a, b, dtype):
     )
 
 
-def _forward_chain(x, d, w, dtype, keep_h=True):
-    """Shared fwd math: returns (a_list, h_list, density, color).
+def _forward_chain(x, d, w, dtype, keep=False):
+    """Shared fwd math: returns (chain, density, color).
 
-    With ``keep_h=False`` the post-LN activations are not retained
-    (``h_list`` is empty) — the backward kernel reconstructs each ``h``
-    from the ``xhat`` it already computes for the LayerNorm backward,
-    halving the VMEM the activation chain occupies.
+    With ``keep=True`` each layer's ``(xhat, inv, thr)`` is retained for the
+    backward sweep — one [T, H] tensor + two [T, 1] scalars per layer, so
+    the resident chain is half of what keeping (a, h) pairs would cost, and
+    the backward never recomputes LayerNorm statistics (the sweep's h is
+    reconstructed as ``xhat * g + beta`` and its ReLU mask as
+    ``xhat > thr``).
     """
-    a_list, h_list = [], []
+    chain = []
 
     def layer(i, pre):
-        a, out = _layer_fwd(pre, w["b"][i], w["g"][i], w["beta"][i], dtype)
-        a_list.append(a)
-        if keep_h:
-            h_list.append(out)
+        xhat, inv, thr, out = _layer_fwd(
+            pre, w["b"][i], w["g"][i], w["beta"][i], dtype
+        )
+        if keep:
+            chain.append((xhat, inv, thr))
         return out
 
     h = layer(0, _dot(x, w["w0"], dtype))
@@ -223,39 +233,89 @@ def _forward_chain(x, d, w, dtype, keep_h=True):
     h2 = layer(8, _dot(h, w["whh"][7], dtype) + _dot(d, w["wd_in"], dtype))
     h2 = layer(9, _dot(h2, w["whh"][8], dtype))
     color = _dot(h2, w["w_col"], dtype) + w["b_col"][0]
-    return a_list, h_list, density, color
+    return chain, density, color
 
 
-def _fwd_kernel(*refs, compute_dtype):
+# --- in-kernel frequency encoding -----------------------------------------
+#
+# The classic encoder is sin/cos of per-scalar frequency products
+# (ops/encoding.py::frequency_encoding).  Writing the 60+36-wide encodings
+# to HBM just to read them back into the kernel costs ~2 ms/step in sine
+# fusions, layout copies and pads at the reference workload, and makes the
+# custom-VJP residuals 16x larger than the raw points.  Instead the kernel
+# takes raw [T, 3] points/dirs and computes
+#
+#     enc = sin(x @ S + phase)
+#
+# where S is a static [3, D*2L] placement matrix (S[c, c*2L + j] = f_j for
+# both the sin block and, with phase pi/2, the cos block — cos(z) =
+# sin(z + pi/2)).  One tiny MXU matmul + one VPU sine; the backward is
+# d(enc)/dx = (g * cos(x @ S + phase)) @ S^T.
+
+
+def _enc_consts(size: int, bound: float, dims: int = 3):
+    """Static (S, phase) numpy constants matching frequency_encoding."""
+    import numpy as np
+
+    L = size // 2
+    start = -np.log2(bound)
+    f = np.power(2.0, np.linspace(start, start + L - 1.0, L)) * (np.pi / 2.0)
+    S = np.zeros((dims, dims * size), np.float32)
+    ph = np.zeros((1, dims * size), np.float32)
+    for c in range(dims):
+        S[c, c * size : c * size + L] = f
+        S[c, c * size + L : c * size + 2 * L] = f
+        ph[0, c * size + L : c * size + 2 * L] = np.pi / 2.0
+    return S, ph
+
+
+def _encode_in_kernel(x3, d3, enc_refs):
+    """Returns (x_enc, d_enc, xf, df) — xf/df are the sine arguments,
+    kept for the backward's cosine.  ``enc_refs = (sx, phx, sd, phd)``."""
+    sx, phx, sd, phd = (r[:] for r in enc_refs)
+    xf = jnp.dot(x3, sx, preferred_element_type=jnp.float32) + phx
+    df = jnp.dot(d3, sd, preferred_element_type=jnp.float32) + phd
+    return jnp.sin(xf), jnp.sin(df), xf, df
+
+
+_NUM_ENC_REFS = 4  # sx, phx, sd, phd
+
+
+def _fwd_kernel(*refs, compute_dtype, fuse_encoding=False):
     x_ref, d_ref = refs[0], refs[1]
-    w = dict(zip(_PACK_ORDER, refs[2 : 2 + len(_PACK_ORDER)]))
-    out_ref = refs[2 + len(_PACK_ORDER)]
-    w = {k: v[:] for k, v in w.items()}
-    _, _, density, color = _forward_chain(
-        x_ref[:], d_ref[:], w, compute_dtype
-    )
+    k = 2
+    enc_refs = None
+    if fuse_encoding:
+        enc_refs = refs[k : k + _NUM_ENC_REFS]
+        k += _NUM_ENC_REFS
+    w = dict(zip(_PACK_ORDER, refs[k : k + len(_PACK_ORDER)]))
+    out_ref = refs[k + len(_PACK_ORDER)]
+    w = {k2: v[:] for k2, v in w.items()}
+    x, d = x_ref[:], d_ref[:]
+    if fuse_encoding:
+        x, d, _, _ = _encode_in_kernel(x, d, enc_refs)
+    _, density, color = _forward_chain(x, d, w, compute_dtype)
     out_ref[:, 0:1] = density
     out_ref[:, 1:] = color
 
 
-def _ln_relu_bwd(g_out, a, g_row, beta_row, dtype=jnp.float32):
+def _ln_relu_bwd(g_out, saved, g_row, beta_row, dtype=jnp.float32):
     """Backward through LayerNorm(ReLU-output a) given dL/d(layer out).
 
-    Returns (dpre, dg_partial, dbeta_partial, h) where dpre is dL/d(linear
-    pre-activation + bias input), i.e. after the ReLU mask, and h is the
-    reconstructed layer output ``xhat * g + beta`` (free given xhat; lets
-    the backward kernel avoid storing the post-LN chain).
+    ``saved = (xhat, inv, thr)`` comes from the rematerialized forward — no
+    LayerNorm statistics are recomputed here.  Returns (dpre, dg_partial,
+    dbeta_partial, h) where dpre is dL/d(linear pre-activation + bias
+    input), i.e. after the ReLU mask (``xhat > thr`` — see ``_layer_fwd``),
+    and h is the reconstructed layer output ``xhat * g + beta``.
     """
-    mu, var = _ln_stats(a, dtype)
-    inv = jax.lax.rsqrt(var + LN_EPS)
-    xhat = (a - mu) * inv
+    xhat, inv, thr = saved
     h = xhat * g_row[None, :] + beta_row[None, :]
     dg = jnp.sum(g_out * xhat, axis=0)
     dbeta = jnp.sum(g_out, axis=0)
     dxhat = g_out * g_row[None, :]
     m_dxhat, m_cross = _bwd_means(dxhat, xhat, dtype)
     da = inv * (dxhat - m_dxhat - xhat * m_cross)
-    dpre = da * (a > 0.0)
+    dpre = da * (xhat > thr)
     return dpre, dg, dbeta, h
 
 
@@ -271,15 +331,23 @@ def _bwd_means(dxhat, xhat, dtype):
     )
 
 
-def _bwd_kernel(*refs, compute_dtype):
+def _bwd_kernel(*refs, compute_dtype, fuse_encoding=False):
     (x_ref, d_ref, gout_ref) = refs[0:3]
-    w = dict(zip(_PACK_ORDER, refs[3 : 3 + len(_PACK_ORDER)]))
-    outs = refs[3 + len(_PACK_ORDER) :]
+    k = 3
+    enc_refs = None
+    if fuse_encoding:
+        enc_refs = refs[k : k + _NUM_ENC_REFS]
+        k += _NUM_ENC_REFS
+    w = dict(zip(_PACK_ORDER, refs[k : k + len(_PACK_ORDER)]))
+    outs = refs[k + len(_PACK_ORDER) :]
     (dx_ref, dd_ref, dw0_ref, dwx_ref, dwdin_ref, dwhh_ref, db_ref,
      dg_ref, dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref) = outs
 
-    w = {k: v[:] for k, v in w.items()}
+    w = {k2: v[:] for k2, v in w.items()}
     x, d = x_ref[:], d_ref[:]
+    xf = df = None
+    if fuse_encoding:
+        x, d, xf, df = _encode_in_kernel(x, d, enc_refs)
     dt = compute_dtype
 
     # Zero the weight-grad accumulators on the first grid step (they use a
@@ -290,18 +358,17 @@ def _bwd_kernel(*refs, compute_dtype):
                     dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref):
             ref[...] = jnp.zeros_like(ref)
 
-    # Recompute the pre-LN forward chain in VMEM (rematerialization).  The
-    # post-LN outputs are NOT kept: each ``h_j`` is reconstructed from the
-    # xhat the LayerNorm backward computes anyway, so the resident chain is
-    # 10 x [TILE, H] instead of 20 x — which is what lets TILE_BWD be 512.
-    a_list, _, _, _ = _forward_chain(x, d, w, dt, keep_h=False)
+    # Rematerialize the forward in VMEM, keeping only (xhat, inv, thr) per
+    # layer — one [TILE, H] tensor each, and the backward sweep reuses the
+    # forward's LayerNorm statistics instead of recomputing them.
+    chain, _, _ = _forward_chain(x, d, w, dt, keep=True)
 
     g_dens = gout_ref[:, 0:1]
     g_col = gout_ref[:, 1:]
 
     def layer_bwd(i, g_h):
         dpre, dg_i, dbeta_i, h_i = _ln_relu_bwd(
-            g_h, a_list[i], w["g"][i], w["beta"][i], dt
+            g_h, chain[i], w["g"][i], w["beta"][i], dt
         )
         # Accumulate straight into the output refs (constant index maps keep
         # the same VMEM block resident across grid steps) — holding per-layer
@@ -324,7 +391,7 @@ def _bwd_kernel(*refs, compute_dtype):
     dpre, h8 = layer_bwd(8, _dot_t(dpre_next, w["whh"][8], dt))
     acc_dwhh(8, h8, dpre_next)
     dwdin_ref[...] += _dot_tn(d, dpre, dt)
-    dd_ref[...] = _dot_t(dpre, w["wd_in"], dt)
+    dd = _dot_t(dpre, w["wd_in"], dt)
     dpre_next = dpre
     # L7 (density head joins at h7)
     g_h = _dot_t(dpre_next, w["whh"][7], dt) + _dot_t(g_dens, w["w_dens"], dt)
@@ -353,7 +420,21 @@ def _bwd_kernel(*refs, compute_dtype):
     dpre, h0 = layer_bwd(0, _dot_t(dpre_next, w["whh"][0], dt))
     acc_dwhh(0, h0, dpre_next)
     dw0_ref[...] += _dot_tn(x, dpre, dt)
-    dx_ref[...] = dx + _dot_t(dpre, w["w0"], dt)
+    dx = dx + _dot_t(dpre, w["w0"], dt)
+    if not fuse_encoding:
+        dx_ref[...] = dx
+        dd_ref[...] = dd
+    else:
+        # Chain rule through the in-kernel encoding back to raw points/dirs.
+        sx, _, sd, _ = (r[:] for r in enc_refs)
+        dx_ref[...] = jax.lax.dot_general(
+            dx * jnp.cos(xf), sx, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dd_ref[...] = jax.lax.dot_general(
+            dd * jnp.cos(df), sd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -380,12 +461,24 @@ def _tile_spec(tile, width):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _fused_core(packed, x_enc, d_enc, compute_dtype, interpret):
-    return _fused_fwd_call(packed, x_enc, d_enc, compute_dtype, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_core(packed, x_enc, d_enc, compute_dtype, interpret, enc_cfg=None):
+    return _fused_fwd_call(
+        packed, x_enc, d_enc, compute_dtype, interpret, enc_cfg
+    )
 
 
-def _fused_fwd_call(packed, x_enc, d_enc, compute_dtype, interpret):
+def _enc_operands(enc_cfg):
+    """(sx, phx, sd, phd) as jnp operands for the kernels, or ()."""
+    if enc_cfg is None:
+        return ()
+    x_size, x_bound, d_size, d_bound = enc_cfg
+    sx, phx = _enc_consts(x_size, x_bound)
+    sd, phd = _enc_consts(d_size, d_bound)
+    return tuple(jnp.asarray(a) for a in (sx, phx, sd, phd))
+
+
+def _fused_fwd_call(packed, x_enc, d_enc, compute_dtype, interpret, enc_cfg):
     p = x_enc.shape[0]
     xe, de = x_enc.shape[1], d_enc.shape[1]
     cols = 1 + packed["w_col"].shape[1]
@@ -393,29 +486,37 @@ def _fused_fwd_call(packed, x_enc, d_enc, compute_dtype, interpret):
     d_pad, _ = _pad_points(d_enc, TILE_FWD)
     grid = x_pad.shape[0] // TILE_FWD
 
+    enc_ops = _enc_operands(enc_cfg)
     weights = [packed[k] for k in _PACK_ORDER]
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, compute_dtype=compute_dtype),
+        functools.partial(
+            _fwd_kernel,
+            compute_dtype=compute_dtype,
+            fuse_encoding=enc_cfg is not None,
+        ),
         out_shape=jax.ShapeDtypeStruct((x_pad.shape[0], cols), jnp.float32),
         grid=(grid,),
         in_specs=[
             _tile_spec(TILE_FWD, xe),
             _tile_spec(TILE_FWD, de),
+            *[_full_spec(e.shape) for e in enc_ops],
             *[_full_spec(w.shape) for w in weights],
         ],
         out_specs=_tile_spec(TILE_FWD, cols),
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(x_pad, d_pad, *weights)
+    )(x_pad, d_pad, *enc_ops, *weights)
     return out[:p]
 
 
-def _fused_fwd_rule(packed, x_enc, d_enc, compute_dtype, interpret):
-    out = _fused_fwd_call(packed, x_enc, d_enc, compute_dtype, interpret)
+def _fused_fwd_rule(packed, x_enc, d_enc, compute_dtype, interpret, enc_cfg):
+    out = _fused_fwd_call(
+        packed, x_enc, d_enc, compute_dtype, interpret, enc_cfg
+    )
     return out, (packed, x_enc, d_enc)
 
 
-def _fused_bwd_rule(compute_dtype, interpret, residuals, g_out):
+def _fused_bwd_rule(compute_dtype, interpret, enc_cfg, residuals, g_out):
     packed, x_enc, d_enc = residuals
     p = x_enc.shape[0]
     xe, de = x_enc.shape[1], d_enc.shape[1]
@@ -448,20 +549,26 @@ def _fused_bwd_rule(compute_dtype, interpret, residuals, g_out):
         *[_full_spec(s.shape) for s in out_shapes[2:]],
     ]
 
+    enc_ops = _enc_operands(enc_cfg)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, compute_dtype=compute_dtype),
+        functools.partial(
+            _bwd_kernel,
+            compute_dtype=compute_dtype,
+            fuse_encoding=enc_cfg is not None,
+        ),
         out_shape=out_shapes,
         grid=(grid,),
         in_specs=[
             _tile_spec(TILE_BWD, xe),
             _tile_spec(TILE_BWD, de),
             _tile_spec(TILE_BWD, g_out.shape[1]),
+            *[_full_spec(e.shape) for e in enc_ops],
             *[_full_spec(w.shape) for w in weights],
         ],
         out_specs=out_specs,
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(x_pad, d_pad, g_pad, *weights)
+    )(x_pad, d_pad, g_pad, *enc_ops, *weights)
 
     (dx, dd, dw0, dwx, dwdin, dwhh, db, dg, dbeta, dwdens, dbdens, dwcol,
      dbcol) = outs
@@ -516,6 +623,56 @@ def classic_mlp_pallas(
     d2 = d_enc.reshape(-1, d_enc.shape[-1])
     packed = pack_classic_params(params)
     out = _fused_core(packed, x2, d2, compute_dtype, interpret)
+    cols = out.shape[-1]
+    out = out.reshape(*lead, cols)
+    return out[..., 0:1], out[..., 1:]
+
+
+def classic_pointmlp_pallas(
+    params: Dict[str, Any],
+    points: Array,
+    dirs: Array,
+    x_encoding_size: int,
+    x_bound: float,
+    d_encoding_size: int,
+    d_bound: float,
+    compute_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> Tuple[Array, Array]:
+    """Fully fused encoder + classic MLP on RAW points/directions.
+
+    Computes the classic frequency encoding IN-KERNEL (see the note above
+    ``_enc_consts``) so HBM traffic is the raw [P, 3] coordinates instead
+    of the [P, 96] encodings.  MEASURED SLOWER than the pre-encoded path
+    on a v5e chip (15.4 vs 12.6 ms/step at the reference train workload):
+    Mosaic's in-kernel sine costs far more than XLA's fused sine, and the
+    backward rematerializes it.  Kept as a tested option — the tradeoff
+    flips if HBM bandwidth, not the VPU, is the binding constraint (e.g.
+    much wider encodings) — but the model defaults to encode-then-
+    ``classic_mlp_pallas``.
+
+    Args:
+        params: ClassicNeRF pytree.
+        points: ``[..., 3]`` world-space sample positions.
+        dirs: ``[..., 3]`` view directions (broadcast to points' shape).
+        x_encoding_size / x_bound: ``cfg.x_positional_encoding_size`` and
+            ``cfg.normalize_position`` (frequency table, static).
+        d_encoding_size / d_bound: same for the view-direction encoder.
+
+    Returns:
+        ``(density [..., 1], color_logits [..., C])``.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    lead = points.shape[:-1]
+    p2 = points.reshape(-1, points.shape[-1])
+    d2 = dirs.reshape(-1, dirs.shape[-1])
+    packed = pack_classic_params(params)
+    enc_cfg = (
+        int(x_encoding_size), float(x_bound),
+        int(d_encoding_size), float(d_bound),
+    )
+    out = _fused_core(packed, p2, d2, compute_dtype, interpret, enc_cfg)
     cols = out.shape[-1]
     out = out.reshape(*lead, cols)
     return out[..., 0:1], out[..., 1:]

@@ -178,7 +178,9 @@ class TestModelIntegration:
                               density_noise_std=0.0)
         out_x = model_x.render_rays(params, None, rays_o, rays_d, render)
         out_p = model_p.render_rays(params, None, rays_o, rays_d, render)
-        np.testing.assert_allclose(out_p.rgb, out_x.rgb, rtol=1e-4, atol=1e-5)
+        # atol 5e-5: the fused path computes sin arguments as x @ S on the
+        # MXU, whose f32 rounding differs slightly from the XLA multiply.
+        np.testing.assert_allclose(out_p.rgb, out_x.rgb, rtol=1e-4, atol=5e-5)
 
     def test_unsupported_config_falls_back(self):
         cfg = ClassicNeRFConfig(trunk_blocks=(2, 2), hidden_size=32,
@@ -257,3 +259,58 @@ class TestBfloat16Path:
         rays_d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (8, 1))
         out = model.render_rays(params, None, rays_o, rays_d, render)
         assert np.isfinite(np.asarray(out.rgb)).all()
+
+
+class TestFusedEncodingKernel:
+    """classic_pointmlp_pallas: encoder computed in-kernel on raw coords."""
+
+    def test_forward_matches_encode_then_mlp(self, setup):
+        cfg, model, params, _, _ = setup
+        rng = np.random.default_rng(3)
+        pts = jnp.asarray(rng.uniform(-2, 2, size=(300, 3)), jnp.float32)
+        dirs = jnp.asarray(rng.normal(size=(300, 3)), jnp.float32)
+        d_ref, c_ref = apply_classic_mlp(
+            params, cfg, model.encode_position(pts),
+            model.encode_direction(dirs),
+        )
+        d_pal, c_pal = fused_mlp.classic_pointmlp_pallas(
+            params, pts, dirs,
+            cfg.x_positional_encoding_size, cfg.normalize_position,
+            cfg.d_positional_encoding_size, cfg.direction_bound,
+        )
+        np.testing.assert_allclose(d_pal, d_ref, rtol=1e-4, atol=2e-4)
+        np.testing.assert_allclose(c_pal, c_ref, rtol=1e-4, atol=2e-4)
+
+    def test_gradients_close(self, setup):
+        cfg, model, params, _, _ = setup
+        rng = np.random.default_rng(4)
+        pts = jnp.asarray(rng.uniform(-2, 2, size=(300, 3)), jnp.float32)
+        dirs = jnp.asarray(rng.normal(size=(300, 3)), jnp.float32)
+
+        def loss(fn):
+            return lambda p: jnp.mean(fn(p)[1] ** 2)
+
+        g_ref = jax.grad(loss(lambda p: apply_classic_mlp(
+            p, cfg, model.encode_position(pts), model.encode_direction(dirs)
+        )))(params)
+        g_pal = jax.grad(loss(lambda p: fused_mlp.classic_pointmlp_pallas(
+            p, pts, dirs,
+            cfg.x_positional_encoding_size, cfg.normalize_position,
+            cfg.d_positional_encoding_size, cfg.direction_bound,
+        )))(params)
+        vr = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g_ref)])
+        vp = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g_pal)])
+        cos = jnp.vdot(vr, vp) / (jnp.linalg.norm(vr) * jnp.linalg.norm(vp))
+        assert float(cos) > 0.999, float(cos)
+
+    def test_enc_consts_match_frequency_encoding(self):
+        from nerf_tpu.ops import encoding
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.uniform(-3, 3, size=(17, 3)), jnp.float32)
+        scales = encoding.bbox_frequency_scales(20, 6.0, jnp.float32)
+        ref = encoding.frequency_encoding(x, scales)
+        s, ph = fused_mlp._enc_consts(20, 6.0)
+        got = jnp.sin(x @ jnp.asarray(s) + jnp.asarray(ph))
+        # atol 2e-4: sine args reach |x * f| ~ 700 at the top frequency,
+        # where one f32 ulp of the product already moves sin by ~6e-5.
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-4)
