@@ -134,7 +134,11 @@ class RenderConfig:
     density_noise_std: float = 0.0
     # Rays per on-chip tile for full-image rendering (replaces the
     # reference's Python chunk loop at model.py:750-761 with lax.map tiles).
-    rays_per_tile: int = 4096
+    # Swept on a v5e chip for the 400x400 64+128 hierarchical render:
+    # ~2k rays/tile keeps the dense sample-merge working set small enough
+    # for XLA to stay on its fused (not loop) strategy — 241k rays/s vs
+    # 124k at 20k rays/tile.
+    rays_per_tile: int = 2048
     white_background: bool = False
     use_ndc: bool = False
 

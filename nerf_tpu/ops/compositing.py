@@ -25,6 +25,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from nerf_tpu.ops import cumulative
+
 Array = jax.Array
 
 
@@ -66,7 +68,10 @@ def weights_from_density(density: Array, dists: Array) -> Array:
     ``w_i   = (1 - alpha_i) * prod_{j<i}(alpha_j + 1e-10)``
     """
     alpha = jnp.exp(-jax.nn.relu(density) * dists)
-    trans = jnp.cumprod(alpha[..., :-1, :] + 1e-10, axis=-2)
+    # cumulative.cumprod: jnp.cumprod lowers to a sequential while loop on
+    # TPU (~0.5 s of a 400x400 hierarchical render); the doubling ladder is
+    # log-depth and fully vectorized.
+    trans = cumulative.cumprod(alpha[..., :-1, :] + 1e-10, axis=-2)
     ones = jnp.ones_like(trans[..., :1, :])
     transmittance = jnp.concatenate([ones, trans], axis=-2)
     return (1.0 - alpha) * transmittance

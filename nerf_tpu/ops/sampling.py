@@ -26,6 +26,8 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from nerf_tpu.ops import cumulative
+
 Array = jax.Array
 
 # Reference constant at model.py:414: 2^-9.43633744014 * bbox_diagonal ~= 0.1
@@ -132,7 +134,7 @@ def sample_pdf(
     """
     weights = weights + eps
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = cumulative.cumsum(pdf, axis=-1)  # scan-free (see ops/cumulative)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
     # Clamp the top to exactly 1 so u=1-eps never falls off the table.
     cdf = jnp.concatenate([cdf[..., :-1], jnp.ones_like(cdf[..., :1])], axis=-1)

@@ -58,7 +58,7 @@ def main() -> None:
     pose_o, pose_r = spherical_poses(args.views, radius=4.0, seed=0)
     eval_render = RenderConfig(
         num_coarse_samples=128, near=2.0, far=6.0,
-        randomly_sample=False, density_noise_std=0.0, rays_per_tile=10_000,
+        randomly_sample=False, density_noise_std=0.0, rays_per_tile=2048,
     )
     t0 = time.time()
     images = teacher.render_image(
@@ -88,7 +88,7 @@ def main() -> None:
 
     hold_render = RenderConfig(
         num_coarse_samples=64, near=2.0, far=6.0,
-        randomly_sample=False, density_noise_std=0.0, rays_per_tile=10_000,
+        randomly_sample=False, density_noise_std=0.0, rays_per_tile=2048,
     )
     t0 = time.time()
     for start in range(0, args.steps, args.chunk):
