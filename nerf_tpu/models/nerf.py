@@ -164,6 +164,7 @@ class ClassicNeRF:
         states_x: Optional[Array],
         states_d: Optional[Array],
         density_noise_std: float,
+        white_background: bool = False,
     ) -> Tuple[Array, Array, Array]:
         """One coarse or fine pass: evaluate, composite. Returns
         ``(rgb, weights [..., S, 1], depth)``."""
@@ -174,7 +175,9 @@ class ClassicNeRF:
         weights = compositing.weights_from_density(
             density, compositing.distances_from_tvals(t_vals, rays_d)
         )
-        rgb = compositing.composite_rgb(weights, color)
+        rgb = compositing.composite_rgb_with_background(
+            weights, color, 1.0 if white_background else None
+        )
         depth = compositing.composite_depth(weights, t_vals)
         return rgb, weights, depth
 
@@ -210,6 +213,7 @@ class ClassicNeRF:
         rgb_c, weights_c, depth_c = self._render_stage(
             params, k_noise_c, rays_o, rays_d, t_coarse,
             states_x, states_d, render.density_noise_std,
+            render.white_background,
         )
 
         stages = [rgb_c]
@@ -229,6 +233,7 @@ class ClassicNeRF:
             rgb_f, weights_f, depth_f = self._render_stage(
                 params, k_noise_f, rays_o, rays_d, t_all,
                 states_x, states_d, render.density_noise_std,
+                render.white_background,
             )
             stages.append(rgb_f)
             weights, t_vals, depth = weights_f, t_all, depth_f
@@ -375,7 +380,9 @@ class MipNeRF:
             k_noise, density, render.density_noise_std
         )
         weights = compositing.compositing_weights(points, density)
-        rgb = compositing.composite_rgb(weights, color)
+        rgb = compositing.composite_rgb_with_background(
+            weights, color, 1.0 if render.white_background else None
+        )
         seg = compositing.composite_segmentation(weights, segmentation)
         # Interval midpoints give the depth estimate for the S-1 intervals.
         t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])

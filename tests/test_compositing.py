@@ -141,3 +141,28 @@ class TestComposites:
             w, logits, jnp.ones(3)
         )
         np.testing.assert_allclose(rgb, 1.0, rtol=1e-5)
+
+
+class TestWhiteBackground:
+    def test_render_config_white_background_is_honored(self):
+        import jax
+        from nerf_tpu import ClassicNeRF, ClassicNeRFConfig, RenderConfig
+
+        model = ClassicNeRF(ClassicNeRFConfig(normalize_position=6.0))
+        params = model.init(jax.random.PRNGKey(0))
+        # Force sigma < 0 everywhere (relu -> 0 density): fully transparent
+        # rays, so acc ~ 0 and the white blend must dominate.  (With any
+        # positive density the 1e10 far pad saturates opacity to ~1.)
+        params["density"]["w"] = jnp.zeros_like(params["density"]["w"])
+        params["density"]["b"] = params["density"]["b"] - 10.0
+        rays_o = jnp.zeros((4, 3))
+        rays_d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (4, 1))
+        base = RenderConfig(num_coarse_samples=8, near=1.0, far=2.0,
+                            randomly_sample=False, density_noise_std=0.0)
+        white = RenderConfig(num_coarse_samples=8, near=1.0, far=2.0,
+                             randomly_sample=False, density_noise_std=0.0,
+                             white_background=True)
+        rgb_black = model.render_rays(params, None, rays_o, rays_d, base).rgb
+        rgb_white = model.render_rays(params, None, rays_o, rays_d, white).rgb
+        np.testing.assert_allclose(rgb_black, 0.0, atol=1e-6)
+        np.testing.assert_allclose(rgb_white, 1.0, atol=1e-5)
