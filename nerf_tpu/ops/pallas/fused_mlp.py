@@ -45,13 +45,15 @@ LN_EPS = 1e-5
 NUM_LAYERS = 10
 NUM_HH = 9  # H->H weight slabs: L1..L9
 
-# Forward processes bigger point blocks than backward (backward also holds
-# the recomputed pre-LN activation chain + weight-gradient accumulators in
-# VMEM: 10 x [TILE, H] f32 + 2 x ~2.6 MB of weights/grad accumulators).
-# Swept on a real v5e chip: 256 beats 512/1024 for backward (smaller tiles
-# pipeline better against the sequential weight-grad accumulation).
+# Swept on a real v5e chip at 262k points (fwd+bwd):
+#   TILE_BWD=256 single chain: 8.3 ms;  1024 with 2 independent 512-row
+#   slices (_BWD_SPLITS below): 7.1 ms — the slices' dataflow is
+#   independent, so MXU matmuls of one slice overlap the other's
+#   LayerNorm-backward VPU work, and the big tile amortizes the per-grid-
+#   step weight-gradient accumulation 4x.  4 slices / 128-row slices are
+#   both slower (matmuls too small).
 TILE_FWD = 1024
-TILE_BWD = 256
+TILE_BWD = 1024
 
 # The backward working set exceeds XLA's default 16 MiB scoped-VMEM budget
 # at TILE_BWD=512; physical VMEM on v5e/v5p is far larger, so raise the
@@ -331,6 +333,87 @@ def _bwd_means(dxhat, xhat, dtype):
     )
 
 
+# Row-slices per backward tile.  The backward alternates a matmul (MXU)
+# with a LayerNorm backward (VPU) along a single dependency chain; with two
+# independent half-tiles in flight, the VLIW scheduler can overlap one
+# half's MXU work with the other's VPU work.  Swept on hardware (see the
+# TILE_BWD note above): 2 x 512-row slices is the sweet spot.
+_BWD_SPLITS = 2
+
+
+def _bwd_slice(x, d, g_dens, g_col, w, dt):
+    """Full backward math for one row-slice.
+
+    Returns (dx, dd, grads) where grads maps _PACK_ORDER names (minus the
+    two input grads) to VALUE contributions — the caller accumulates them
+    into the output refs, so independent slices form independent dataflow.
+    """
+    # Rematerialize the forward, keeping only (xhat, inv, thr) per layer —
+    # the backward sweep reuses the forward's LayerNorm statistics.
+    chain, _, _ = _forward_chain(x, d, w, dt, keep=True)
+
+    grads = {}
+    db = [None] * NUM_LAYERS
+    dg = [None] * NUM_LAYERS
+    dbeta = [None] * NUM_LAYERS
+    dwhh = [None] * NUM_HH
+
+    def layer_bwd(i, g_h):
+        dpre, dg_i, dbeta_i, h_i = _ln_relu_bwd(
+            g_h, chain[i], w["g"][i], w["beta"][i], dt
+        )
+        dg[i] = dg_i
+        dbeta[i] = dbeta_i
+        db[i] = jnp.sum(dpre, axis=0)
+        return dpre, h_i
+
+    # ``dwhh[j] = h_j^T dpre_{j+1}`` is emitted one layer late, when layer
+    # j's backward reconstructs h_j (``dpre_next`` carries dpre_{j+1}).
+    # L9 + color head
+    dpre_next, h9 = layer_bwd(9, _dot_t(g_col, w["w_col"], dt))
+    grads["w_col"] = _dot_tn(h9, g_col, dt)
+    grads["b_col"] = jnp.sum(g_col, axis=0, keepdims=True)
+    # L8 (view conditioning)
+    dpre, h8 = layer_bwd(8, _dot_t(dpre_next, w["whh"][8], dt))
+    dwhh[8] = _dot_tn(h8, dpre_next, dt)
+    grads["wd_in"] = _dot_tn(d, dpre, dt)
+    dd = _dot_t(dpre, w["wd_in"], dt)
+    dpre_next = dpre
+    # L7 (density head joins at h7)
+    g_h = _dot_t(dpre_next, w["whh"][7], dt) + _dot_t(g_dens, w["w_dens"], dt)
+    dpre, h7 = layer_bwd(7, g_h)
+    dwhh[7] = _dot_tn(h7, dpre_next, dt)
+    grads["w_dens"] = _dot_tn(h7, g_dens, dt)
+    grads["b_dens"] = jnp.sum(g_dens, axis=0, keepdims=True)
+    dpre_next = dpre
+    # L6..L5
+    for j in (6, 5):
+        dpre, h_j = layer_bwd(j, _dot_t(dpre_next, w["whh"][j], dt))
+        dwhh[j] = _dot_tn(h_j, dpre_next, dt)
+        dpre_next = dpre
+    # L4 (skip)
+    dpre, h4 = layer_bwd(4, _dot_t(dpre_next, w["whh"][4], dt))
+    dwhh[4] = _dot_tn(h4, dpre_next, dt)
+    grads["wx"] = _dot_tn(x, dpre, dt)
+    dx = _dot_t(dpre, w["wx"], dt)
+    dpre_next = dpre
+    # L3..L1
+    for j in (3, 2, 1):
+        dpre, h_j = layer_bwd(j, _dot_t(dpre_next, w["whh"][j], dt))
+        dwhh[j] = _dot_tn(h_j, dpre_next, dt)
+        dpre_next = dpre
+    # L0
+    dpre, h0 = layer_bwd(0, _dot_t(dpre_next, w["whh"][0], dt))
+    dwhh[0] = _dot_tn(h0, dpre_next, dt)
+    grads["w0"] = _dot_tn(x, dpre, dt)
+    dx = dx + _dot_t(dpre, w["w0"], dt)
+    grads["whh"] = dwhh
+    grads["b"] = db
+    grads["g"] = dg
+    grads["beta"] = dbeta
+    return dx, dd, grads
+
+
 def _bwd_kernel(*refs, compute_dtype, fuse_encoding=False):
     (x_ref, d_ref, gout_ref) = refs[0:3]
     k = 3
@@ -342,12 +425,13 @@ def _bwd_kernel(*refs, compute_dtype, fuse_encoding=False):
     outs = refs[k + len(_PACK_ORDER) :]
     (dx_ref, dd_ref, dw0_ref, dwx_ref, dwdin_ref, dwhh_ref, db_ref,
      dg_ref, dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref) = outs
+    flat_refs = {
+        "w0": dw0_ref, "wx": dwx_ref, "wd_in": dwdin_ref,
+        "w_dens": dwdens_ref, "b_dens": dbdens_ref,
+        "w_col": dwcol_ref, "b_col": dbcol_ref,
+    }
 
     w = {k2: v[:] for k2, v in w.items()}
-    x, d = x_ref[:], d_ref[:]
-    xf = df = None
-    if fuse_encoding:
-        x, d, xf, df = _encode_in_kernel(x, d, enc_refs)
     dt = compute_dtype
 
     # Zero the weight-grad accumulators on the first grid step (they use a
@@ -358,83 +442,46 @@ def _bwd_kernel(*refs, compute_dtype, fuse_encoding=False):
                     dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref):
             ref[...] = jnp.zeros_like(ref)
 
-    # Rematerialize the forward in VMEM, keeping only (xhat, inv, thr) per
-    # layer — one [TILE, H] tensor each, and the backward sweep reuses the
-    # forward's LayerNorm statistics instead of recomputing them.
-    chain, _, _ = _forward_chain(x, d, w, dt, keep=True)
-
-    g_dens = gout_ref[:, 0:1]
-    g_col = gout_ref[:, 1:]
-
-    def layer_bwd(i, g_h):
-        dpre, dg_i, dbeta_i, h_i = _ln_relu_bwd(
-            g_h, chain[i], w["g"][i], w["beta"][i], dt
+    tile = x_ref.shape[0]
+    rows = tile // _BWD_SPLITS
+    acc = None  # summed across slices, written to refs ONCE — keeps the
+    # slices' dataflow independent so the scheduler can interleave them.
+    for s in range(_BWD_SPLITS):
+        sl = slice(s * rows, (s + 1) * rows)
+        x, d = x_ref[sl, :], d_ref[sl, :]
+        xf = df = None
+        if fuse_encoding:
+            x, d, xf, df = _encode_in_kernel(x, d, enc_refs)
+        dx, dd, grads = _bwd_slice(
+            x, d, gout_ref[sl, 0:1], gout_ref[sl, 1:], w, dt
         )
-        # Accumulate straight into the output refs (constant index maps keep
-        # the same VMEM block resident across grid steps) — holding per-layer
-        # temporaries to stack at the end would double VMEM pressure.
-        dg_ref[i, :] += dg_i
-        dbeta_ref[i, :] += dbeta_i
-        db_ref[i, :] += jnp.sum(dpre, axis=0)
-        return dpre, h_i
+        if acc is None:
+            acc = grads
+        else:
+            acc = jax.tree.map(jnp.add, acc, grads)
+        if not fuse_encoding:
+            dx_ref[sl, :] = dx
+            dd_ref[sl, :] = dd
+        else:
+            # Chain rule through the in-kernel encoding to raw points/dirs.
+            sx, _, sd, _ = (r[:] for r in enc_refs)
+            dx_ref[sl, :] = jax.lax.dot_general(
+                dx * jnp.cos(xf), sx, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dd_ref[sl, :] = jax.lax.dot_general(
+                dd * jnp.cos(df), sd, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-    def acc_dwhh(j, h_j, dpre_next):
-        dwhh_ref[j, :, :] += _dot_tn(h_j, dpre_next, dt)
-
-    # ``dwhh[j] = h_j^T dpre_{j+1}`` is emitted one layer late, when
-    # layer j's backward reconstructs h_j (``dpre_next`` carries dpre_{j+1}).
-    # L9 + color head
-    dpre_next, h9 = layer_bwd(9, _dot_t(g_col, w["w_col"], dt))
-    dwcol_ref[...] += _dot_tn(h9, g_col, dt)
-    dbcol_ref[...] += jnp.sum(g_col, axis=0, keepdims=True)
-    # L8 (view conditioning)
-    dpre, h8 = layer_bwd(8, _dot_t(dpre_next, w["whh"][8], dt))
-    acc_dwhh(8, h8, dpre_next)
-    dwdin_ref[...] += _dot_tn(d, dpre, dt)
-    dd = _dot_t(dpre, w["wd_in"], dt)
-    dpre_next = dpre
-    # L7 (density head joins at h7)
-    g_h = _dot_t(dpre_next, w["whh"][7], dt) + _dot_t(g_dens, w["w_dens"], dt)
-    dpre, h7 = layer_bwd(7, g_h)
-    acc_dwhh(7, h7, dpre_next)
-    dwdens_ref[...] += _dot_tn(h7, g_dens, dt)
-    dbdens_ref[...] += jnp.sum(g_dens, axis=0, keepdims=True)
-    dpre_next = dpre
-    # L6..L5
-    for j in (6, 5):
-        dpre, h_j = layer_bwd(j, _dot_t(dpre_next, w["whh"][j], dt))
-        acc_dwhh(j, h_j, dpre_next)
-        dpre_next = dpre
-    # L4 (skip)
-    dpre, h4 = layer_bwd(4, _dot_t(dpre_next, w["whh"][4], dt))
-    acc_dwhh(4, h4, dpre_next)
-    dwx_ref[...] += _dot_tn(x, dpre, dt)
-    dx = _dot_t(dpre, w["wx"], dt)
-    dpre_next = dpre
-    # L3..L1
-    for j in (3, 2, 1):
-        dpre, h_j = layer_bwd(j, _dot_t(dpre_next, w["whh"][j], dt))
-        acc_dwhh(j, h_j, dpre_next)
-        dpre_next = dpre
-    # L0
-    dpre, h0 = layer_bwd(0, _dot_t(dpre_next, w["whh"][0], dt))
-    acc_dwhh(0, h0, dpre_next)
-    dw0_ref[...] += _dot_tn(x, dpre, dt)
-    dx = dx + _dot_t(dpre, w["w0"], dt)
-    if not fuse_encoding:
-        dx_ref[...] = dx
-        dd_ref[...] = dd
-    else:
-        # Chain rule through the in-kernel encoding back to raw points/dirs.
-        sx, _, sd, _ = (r[:] for r in enc_refs)
-        dx_ref[...] = jax.lax.dot_general(
-            dx * jnp.cos(xf), sx, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dd_ref[...] = jax.lax.dot_general(
-            dd * jnp.cos(df), sd, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    for name, ref in flat_refs.items():
+        ref[...] += acc[name]
+    for i in range(NUM_LAYERS):
+        db_ref[i, :] += acc["b"][i]
+        dg_ref[i, :] += acc["g"][i]
+        dbeta_ref[i, :] += acc["beta"][i]
+    for j in range(NUM_HH):
+        dwhh_ref[j, :, :] += acc["whh"][j]
 
 
 # ---------------------------------------------------------------------------
