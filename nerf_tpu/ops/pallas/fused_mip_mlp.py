@@ -37,7 +37,13 @@ from nerf_tpu.ops.pallas.fused_mlp import (
 Array = jax.Array
 
 TILE_FWD = 1024
+# The slice-interleaving trick that wins 15% on the classic kernel
+# (fused_mlp._BWD_SPLITS) measures as a wash here — this chain is shallower
+# (6 Linears) and its wide output head already keeps the MXU busier — so
+# the defaults stay single-slice / smaller tile (lower VMEM).  A/B on v5e:
+# (512, 1) 7.96 ms vs (1024, 2) 7.98 ms at the 4096x64 train workload.
 TILE_BWD = 512
+_BWD_SPLITS = 1
 
 _PACK_ORDER = ("w_in", "whh", "b", "g", "beta", "w_out", "b_out")
 
@@ -117,6 +123,41 @@ def _ln_relu_bwd(g_h, saved, g_row, beta_row, dtype=jnp.float32):
     return dz, dg, dbeta, h
 
 
+def _bwd_slice(feat, g_out, w, num_layers, dt):
+    """Full backward math for one row-slice; returns (dfeat, grads) with
+    grads as VALUE contributions so slices stay dataflow-independent."""
+    # Rematerialize, keeping (xhat, inv) per layer; each h and ReLU mask is
+    # reconstructed during the backward sweep.  ``dwhh[j] = h_j^T dz_{j+1}``
+    # is emitted one layer late (``dz_next`` carries dz_{j+1}).
+    chain, _ = _forward_chain(feat, w, num_layers, dt, keep=True)
+
+    grads = {
+        "b_out": jnp.sum(g_out, axis=0, keepdims=True),
+        "b": [None] * num_layers,
+        "g": [None] * num_layers,
+        "beta": [None] * num_layers,
+        "whh": [None] * (num_layers - 1),
+    }
+    g_h = _dot_t(g_out, w["w_out"], dt)
+
+    dz_next = None
+    for i in range(num_layers - 1, -1, -1):
+        if dz_next is not None:
+            g_h = _dot_t(dz_next, w["whh"][i], dt)
+        dz, dg_i, dbeta_i, h_i = _ln_relu_bwd(g_h, chain[i], w["g"][i],
+                                              w["beta"][i], dt)
+        grads["g"][i] = dg_i
+        grads["beta"][i] = dbeta_i
+        grads["b"][i] = jnp.sum(dz, axis=0)
+        if i == num_layers - 1:
+            grads["w_out"] = _dot_tn(h_i, g_out, dt)
+        else:
+            grads["whh"][i] = _dot_tn(h_i, dz_next, dt)
+        dz_next = dz
+    grads["w_in"] = _dot_tn(feat, dz_next, dt)
+    return _dot_t(dz_next, w["w_in"], dt), grads
+
+
 def _bwd_kernel(*refs, num_layers, compute_dtype):
     feat_ref, gout_ref = refs[0], refs[1]
     w = {k: r[:] for k, r in zip(_PACK_ORDER, refs[2 : 2 + len(_PACK_ORDER)])}
@@ -130,33 +171,25 @@ def _bwd_kernel(*refs, num_layers, compute_dtype):
                     dwout_ref, dbout_ref):
             ref[...] = jnp.zeros_like(ref)
 
-    feat = feat_ref[:]
-    # Rematerialize, keeping (xhat, inv) per layer; each h and ReLU mask is
-    # reconstructed during the backward sweep.  ``dwhh[j] = h_j^T dz_{j+1}``
-    # is emitted one layer late (``dz_next`` carries dz_{j+1}), straight
-    # into the output refs.
-    chain, _ = _forward_chain(feat, w, num_layers, dt, keep=True)
+    rows = feat_ref.shape[0] // _BWD_SPLITS
+    acc = None
+    for s in range(_BWD_SPLITS):
+        sl = slice(s * rows, (s + 1) * rows)
+        dfeat, grads = _bwd_slice(
+            feat_ref[sl, :], gout_ref[sl, :], w, num_layers, dt
+        )
+        dfeat_ref[sl, :] = dfeat
+        acc = grads if acc is None else jax.tree.map(jnp.add, acc, grads)
 
-    g_out = gout_ref[:]
-    dbout_ref[...] += jnp.sum(g_out, axis=0, keepdims=True)
-    g_h = _dot_t(g_out, w["w_out"], dt)
-
-    dz_next = None
-    for i in range(num_layers - 1, -1, -1):
-        if dz_next is not None:
-            g_h = _dot_t(dz_next, w["whh"][i], dt)
-        dz, dg_i, dbeta_i, h_i = _ln_relu_bwd(g_h, chain[i], w["g"][i],
-                                              w["beta"][i], dt)
-        dg_ref[i, :] += dg_i
-        dbeta_ref[i, :] += dbeta_i
-        db_ref[i, :] += jnp.sum(dz, axis=0)
-        if i == num_layers - 1:
-            dwout_ref[...] += _dot_tn(h_i, g_out, dt)
-        else:
-            dwhh_ref[i, :, :] += _dot_tn(h_i, dz_next, dt)
-        dz_next = dz
-    dwin_ref[...] += _dot_tn(feat, dz_next, dt)
-    dfeat_ref[...] = _dot_t(dz_next, w["w_in"], dt)
+    dwin_ref[...] += acc["w_in"]
+    dwout_ref[...] += acc["w_out"]
+    dbout_ref[...] += acc["b_out"]
+    for i in range(num_layers):
+        db_ref[i, :] += acc["b"][i]
+        dg_ref[i, :] += acc["g"][i]
+        dbeta_ref[i, :] += acc["beta"][i]
+    for j in range(num_layers - 1):
+        dwhh_ref[j, :, :] += acc["whh"][j]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
