@@ -283,6 +283,15 @@ def _encode_in_kernel(x3, d3, enc_refs):
 _NUM_ENC_REFS = 4  # sx, phx, sd, phd
 
 
+# Independent row-slices per forward tile (same MXU/VPU-overlap rationale
+# as _BWD_SPLITS below).  Swept on v5e: (1024, 2) is the joint optimum —
+# kernel-only (2048, 4) is 7% faster at 262k points, but 2048-row tiles
+# cost 20% on full-image eval (lax.map tiles of ~2k rays leave too few
+# grid steps to pipeline), and (1024, 2) gives eval 641 ms vs 662 ms
+# single-chain at 400x400 64+128.
+_FWD_SPLITS = 2
+
+
 def _fwd_kernel(*refs, compute_dtype, fuse_encoding=False):
     x_ref, d_ref = refs[0], refs[1]
     k = 2
@@ -293,12 +302,15 @@ def _fwd_kernel(*refs, compute_dtype, fuse_encoding=False):
     w = dict(zip(_PACK_ORDER, refs[k : k + len(_PACK_ORDER)]))
     out_ref = refs[k + len(_PACK_ORDER)]
     w = {k2: v[:] for k2, v in w.items()}
-    x, d = x_ref[:], d_ref[:]
-    if fuse_encoding:
-        x, d, _, _ = _encode_in_kernel(x, d, enc_refs)
-    _, density, color = _forward_chain(x, d, w, compute_dtype)
-    out_ref[:, 0:1] = density
-    out_ref[:, 1:] = color
+    rows = x_ref.shape[0] // _FWD_SPLITS
+    for s in range(_FWD_SPLITS):
+        sl = slice(s * rows, (s + 1) * rows)
+        x, d = x_ref[sl, :], d_ref[sl, :]
+        if fuse_encoding:
+            x, d, _, _ = _encode_in_kernel(x, d, enc_refs)
+        _, density, color = _forward_chain(x, d, w, compute_dtype)
+        out_ref[sl, 0:1] = density
+        out_ref[sl, 1:] = color
 
 
 def _ln_relu_bwd(g_out, saved, g_row, beta_row, dtype=jnp.float32):
