@@ -120,6 +120,11 @@ def main() -> None:
     t64 = _retry(lambda: bench_train_step(model, render64, batch))
     rays_per_s = batch / t64
     log(f"train step, {batch} rays x 64 samples: {rays_per_s:,.0f} rays/s")
+    from nerf_tpu.utils.profiling import train_step_flops
+
+    tflops = train_step_flops(model.cfg, batch, 64) / t64 / 1e12
+    log(f"  achieved ~{tflops:.0f} TFLOP/s matmul (v5e bf16 peak ~197; "
+        f"the step also carries LayerNorm VPU work + sampling/compositing)")
 
     # Secondary: hierarchical 64+128 (the full-pipeline config).
     render_hier = RenderConfig(
