@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-pallas", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    # Synthetic-fallback scene size (used only when --data is absent).
+    p.add_argument("--synthetic-views", type=int, default=24)
+    p.add_argument("--synthetic-hw", type=int, default=100)
     return p
 
 
@@ -59,7 +62,9 @@ def main(argv=None) -> None:
         print(f"loaded {args.data}: {scene.images.shape}")
     else:
         print(f"{args.data} not found; synthesizing the offline scene")
-        scene = synthesize_scene(num_views=24, image_hw=100, focal=138.9,
+        scene = synthesize_scene(num_views=args.synthetic_views,
+                                 image_hw=args.synthetic_hw,
+                                 focal=1.389 * args.synthetic_hw,
                                  num_samples=512)
 
     bank = RayBank.from_images(

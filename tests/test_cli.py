@@ -26,6 +26,8 @@ class TestTinyNerfCli:
             "--batch-size", "128",
             "--num-samples-per-ray", "8",
             "--log-interval", "3",
+            "--synthetic-views", "3",
+            "--synthetic-hw", "24",
         ])
         assert os.path.exists(os.path.join(logdir, "params.json"))
         with open(os.path.join(logdir, "params.json")) as f:
