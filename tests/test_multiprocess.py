@@ -1,0 +1,150 @@
+"""Real multi-PROCESS distributed tests (2 processes, CPU backend, Gloo).
+
+Everything else in the suite exercises multi-device sharding inside one
+process; these tests spawn two actual Python processes through
+``nerf_tpu.parallel.distributed.initialize`` — the same code path a
+multi-host TPU pod uses — and check:
+
+* the global 2-process mesh trains, with each host feeding only its
+  ``host_local_slice`` of the global batch, and both processes agree on
+  the loss;
+* checkpoint/restart recovery: kill the job after N steps, restart both
+  processes from the checkpoint, and training resumes exactly (the §5
+  failure-recovery story: periodic sharded checkpoints + restart).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent(
+    """
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    rank = int(sys.argv[1])
+    port = sys.argv[2]
+    ckpt_dir = sys.argv[3]
+    phase = sys.argv[4]  # "first" or "resume"
+
+    from nerf_tpu.parallel import distributed
+    distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                           process_id=rank)
+    assert jax.process_count() == 2
+
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from nerf_tpu import ClassicNeRF, ClassicNeRFConfig, RenderConfig
+    from nerf_tpu.parallel import (make_parallel_train_step,
+                                   prepare_parallel_state)
+    from nerf_tpu.train import create_train_state
+    from nerf_tpu.train.checkpoint import restore_latest, save_checkpoint
+
+    mesh = Mesh(np.asarray(jax.devices()), ("batch",))
+    model = ClassicNeRF(ClassicNeRFConfig(
+        normalize_position=6.0, x_positional_encoding_size=8,
+        d_positional_encoding_size=4, hidden_size=16, trunk_blocks=(2, 2),
+        view_branch_depth=1))
+    render = RenderConfig(num_coarse_samples=8, near=2.0, far=6.0,
+                          randomly_sample=False, density_noise_std=0.0)
+    opt = optax.adam(1e-3)
+    state = create_train_state(model.init(jax.random.PRNGKey(0)), opt)
+    if phase == "resume":
+        restored = restore_latest(ckpt_dir, state)
+        assert restored is not None, "no checkpoint to resume from"
+        state = restored
+        assert int(state.step) == 3, int(state.step)
+    state = prepare_parallel_state(state, mesh)
+    step = make_parallel_train_step(model, opt, render, mesh, donate=False)
+
+    GLOBAL_BATCH = 32
+    rng = np.random.default_rng(0)  # same global data on every host
+    g = {
+        "rays_o": rng.normal(size=(GLOBAL_BATCH, 3)).astype(np.float32),
+        "rays_d": rng.normal(size=(GLOBAL_BATCH, 3)).astype(np.float32),
+        "pixels": rng.uniform(size=(GLOBAL_BATCH, 3)).astype(np.float32),
+    }
+    sl = distributed.host_local_slice(GLOBAL_BATCH, GLOBAL_BATCH)
+    sharding = NamedSharding(mesh, P("batch"))
+    batch = {
+        k: jax.make_array_from_process_local_data(
+            sharding, v[sl], (GLOBAL_BATCH, 3))
+        for k, v in g.items()
+    }
+
+    losses = []
+    for _ in range(3):
+        state, aux = step(state, batch)
+        losses.append(float(jax.device_get(aux["loss"])))
+
+    distributed.collective_barrier()
+    if phase == "first" and distributed.is_coordinator():
+        save_checkpoint(ckpt_dir, jax.device_get(state))
+    print(f"RANK{rank} {phase} step={int(state.step)} "
+          f"losses={','.join(f'{l:.6f}' for l in losses)}", flush=True)
+    """
+)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_pair(tmp_path, port, phase):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # one CPU device per process
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(r), str(port),
+             str(tmp_path / "ckpt"), phase],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for r in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out.decode())
+        assert p.returncode == 0, out.decode()[-2000:]
+    return outs
+
+
+class TestTwoProcessTraining:
+    def test_train_and_checkpoint_restart_recovery(self, tmp_path):
+        port = _free_port()
+        outs = _run_pair(tmp_path, port, "first")
+        lines = [
+            next(l for l in o.splitlines() if l.startswith(f"RANK{r}"))
+            for r, o in enumerate(outs)
+        ]
+        # Both hosts computed the identical global loss sequence.
+        assert lines[0].split(" ", 2)[2] == lines[1].split(" ", 2)[2]
+        assert "step=3" in lines[0]
+
+        # "Kill" the job (processes exited), restart from the checkpoint.
+        port2 = _free_port()
+        outs2 = _run_pair(tmp_path, port2, "resume")
+        lines2 = [
+            next(l for l in o.splitlines() if l.startswith(f"RANK{r}"))
+            for r, o in enumerate(outs2)
+        ]
+        assert "step=6" in lines2[0]
+        assert lines2[0].split(" ", 2)[2] == lines2[1].split(" ", 2)[2]
+        # Training kept improving after the restart.
+        first_losses = [float(x) for x in
+                        lines[0].split("losses=")[1].split(",")]
+        resumed_losses = [float(x) for x in
+                          lines2[0].split("losses=")[1].split(",")]
+        assert resumed_losses[-1] < first_losses[0]
