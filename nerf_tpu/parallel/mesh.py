@@ -22,6 +22,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 BATCH_AXIS = "batch"
+SAMPLE_AXIS = "sample"
+MODEL_AXIS = "model"
 
 
 def make_mesh(
@@ -48,6 +50,32 @@ def make_mesh(
             )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_2d(
+    batch_devices: int,
+    second_devices: int,
+    second_axis: str = SAMPLE_AXIS,
+    devices: Optional[Sequence[jax.Device]] = None,
+    prefer_platform: Optional[str] = None,
+) -> Mesh:
+    """Build a 2-D ``(batch, sample|model)`` mesh.
+
+    The second axis carries either the samples-per-ray dimension
+    (sequence parallelism, ``parallel/sample_parallel.py``) or the MLP
+    hidden dimension (tensor parallelism, ``parallel/tensor_parallel.py``).
+    On real hardware lay the fast-varying axis along the ICI torus links;
+    here the device order of ``jax.devices()`` is used as-is.
+    """
+    n = batch_devices * second_devices
+    if devices is None:
+        devices = (
+            jax.devices(prefer_platform) if prefer_platform else jax.devices()
+        )
+    if len(devices) < n:
+        raise ValueError(f"requested {n} devices, only {len(devices)} visible")
+    grid = np.asarray(devices[:n]).reshape(batch_devices, second_devices)
+    return Mesh(grid, (BATCH_AXIS, second_axis))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
