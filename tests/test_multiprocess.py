@@ -94,6 +94,81 @@ _WORKER = textwrap.dedent(
 )
 
 
+_WORKER_SP = textwrap.dedent(
+    """
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    rank = int(sys.argv[1])
+    port = sys.argv[2]
+
+    from nerf_tpu.parallel import distributed
+    distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                           process_id=rank)
+
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from nerf_tpu import ClassicNeRF, ClassicNeRFConfig, RenderConfig
+    from nerf_tpu.parallel import (make_sample_parallel_train_step,
+                                   prepare_parallel_state)
+    from nerf_tpu.train import create_train_state, make_train_step
+
+    # One device per process; the GLOBAL mesh is (batch=1, sample=2) — each
+    # PROCESS owns one shard of the samples-per-ray axis (the north-star
+    # "rays and samples sharded across a pod slice" decomposition).
+    mesh = Mesh(np.asarray(jax.devices()).reshape(1, 2), ("batch", "sample"))
+    model = ClassicNeRF(ClassicNeRFConfig(
+        normalize_position=6.0, x_positional_encoding_size=8,
+        d_positional_encoding_size=4, hidden_size=16, trunk_blocks=(2, 2),
+        view_branch_depth=1))
+    render = RenderConfig(num_coarse_samples=8, near=2.0, far=6.0,
+                          randomly_sample=False, density_noise_std=0.0)
+    opt = optax.adam(1e-3)
+
+    GLOBAL_BATCH = 32
+    rng = np.random.default_rng(0)  # same global data on every host
+    g = {
+        "rays_o": rng.normal(size=(GLOBAL_BATCH, 3)).astype(np.float32),
+        "rays_d": rng.normal(size=(GLOBAL_BATCH, 3)).astype(np.float32),
+        "pixels": rng.uniform(size=(GLOBAL_BATCH, 3)).astype(np.float32),
+    }
+    sharding = NamedSharding(mesh, P("batch"))
+    batch = {
+        k: jax.make_array_from_process_local_data(
+            sharding, v, (GLOBAL_BATCH, 3))
+        for k, v in g.items()
+    }
+
+    state = prepare_parallel_state(
+        create_train_state(model.init(jax.random.PRNGKey(0)), opt), mesh)
+    step = make_sample_parallel_train_step(model, opt, render, mesh,
+                                           donate=False)
+    losses = []
+    for _ in range(3):
+        state, aux = step(state, batch)
+        losses.append(float(jax.device_get(aux["loss"])))
+
+    # Single-device oracle computed host-locally on the same data.
+    s0 = create_train_state(model.init(jax.random.PRNGKey(0)), opt)
+    single = make_train_step(model, opt, render, donate=False)
+    ref_losses = []
+    local_batch = {k: jnp.asarray(v) for k, v in g.items()}
+    for _ in range(3):
+        s0, aux = single(s0, local_batch)
+        ref_losses.append(float(jax.device_get(aux["loss"])))
+
+    ok = np.allclose(losses, ref_losses, rtol=1e-5)
+    print(f"RANK{rank} sp losses={','.join(f'{l:.6f}' for l in losses)} "
+          f"match_single={ok}", flush=True)
+    assert ok, (losses, ref_losses)
+    """
+)
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -119,6 +194,41 @@ def _run_pair(tmp_path, port, phase):
         outs.append(out.decode())
         assert p.returncode == 0, out.decode()[-2000:]
     return outs
+
+
+class TestTwoProcessSampleParallel:
+    def test_cross_process_sample_sharding_matches_single_device(
+        self, tmp_path
+    ):
+        """Two processes, samples-per-ray axis split ACROSS the process
+        boundary: the compositing hand-off collectives run over the
+        distributed backend, and the loss sequence must equal the
+        single-device oracle."""
+        port = _free_port()
+        worker = tmp_path / "worker_sp.py"
+        worker.write_text(_WORKER_SP)
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # one CPU device per process
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(r), str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            )
+            for r in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out.decode())
+            assert p.returncode == 0, out.decode()[-2000:]
+        lines = [
+            next(l for l in o.splitlines() if l.startswith(f"RANK{r}"))
+            for r, o in enumerate(outs)
+        ]
+        assert "match_single=True" in lines[0]
+        assert "match_single=True" in lines[1]
+        # Both processes observed the identical global loss sequence.
+        assert lines[0].split(" ", 1)[1] == lines[1].split(" ", 1)[1]
 
 
 class TestTwoProcessTraining:
