@@ -139,11 +139,11 @@ def main() -> None:
     )
     try:
         t_h = _retry(
-            lambda: bench_train_step(model, render_hier, 1024, k1=4, k2=16),
+            lambda: bench_train_step(model, render_hier, 2048, k1=4, k2=16),
             attempts=2,
         )
-        log(f"train step, 1024 rays x (64+128) hierarchical: "
-            f"{1024 / t_h:,.0f} rays/s")
+        log(f"train step, 2048 rays x (64+128) hierarchical: "
+            f"{2048 / t_h:,.0f} rays/s")
     except Exception:  # secondary metric must never sink the headline
         log("hierarchical secondary metric failed; continuing")
 

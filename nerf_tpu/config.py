@@ -141,6 +141,14 @@ class RenderConfig:
     rays_per_tile: int = 2048
     white_background: bool = False
     use_ndc: bool = False
+    # Hierarchical fine stage: reuse the coarse MLP outputs and evaluate the
+    # network only on the NEW fine samples, compositing the disjoint union
+    # with order-free masked reductions (ops/compositing.py::
+    # weights_from_unsorted) — 25% fewer MLP point-evals per step at
+    # identical deterministic renders (up to float reassociation).  False
+    # restores the NeRF-paper re-evaluate-everything formulation (also what
+    # the sample-parallel path implements).
+    reuse_coarse_in_fine: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

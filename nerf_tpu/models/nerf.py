@@ -165,9 +165,9 @@ class ClassicNeRF:
         states_d: Optional[Array],
         density_noise_std: float,
         white_background: bool = False,
-    ) -> Tuple[Array, Array, Array]:
+    ) -> Tuple[Array, Array, Array, Array, Array]:
         """One coarse or fine pass: evaluate, composite. Returns
-        ``(rgb, weights [..., S, 1], depth)``."""
+        ``(rgb, weights [..., S, 1], depth, noised_density, color)``."""
         points, density, color = self.forward(
             params, rays_o, rays_d, t_vals, states_x, states_d
         )
@@ -179,7 +179,7 @@ class ClassicNeRF:
             weights, color, 1.0 if white_background else None
         )
         depth = compositing.composite_depth(weights, t_vals)
-        return rgb, weights, depth
+        return rgb, weights, depth, density, color
 
     def render_rays(
         self,
@@ -210,7 +210,7 @@ class ClassicNeRF:
             randomly_sample=render.randomly_sample,
             dtype=rays_o.dtype,
         )
-        rgb_c, weights_c, depth_c = self._render_stage(
+        rgb_c, weights_c, depth_c, density_c, color_c = self._render_stage(
             params, k_noise_c, rays_o, rays_d, t_coarse,
             states_x, states_d, render.density_noise_std,
             render.white_background,
@@ -229,12 +229,39 @@ class ClassicNeRF:
                 render.num_fine_samples,
                 randomly_sample=render.randomly_sample,
             )
-            t_all = sampling.merge_samples(t_coarse, t_fine)
-            rgb_f, weights_f, depth_f = self._render_stage(
-                params, k_noise_f, rays_o, rays_d, t_all,
-                states_x, states_d, render.density_noise_std,
-                render.white_background,
-            )
+            if render.reuse_coarse_in_fine:
+                # Disjoint-stage fine pass: the network runs only on the
+                # NEW fine samples; the coarse evaluations (density noise
+                # included) are reused, and the union is composited
+                # order-free — no sort/permutation of MLP outputs.
+                _, density_f, color_f = self.forward(
+                    params, rays_o, rays_d, t_fine, states_x, states_d
+                )
+                density_f = _maybe_add_density_noise(
+                    k_noise_f, density_f, render.density_noise_std
+                )
+                t_cat = jnp.concatenate([t_coarse, t_fine], axis=-1)
+                dens_cat = jnp.concatenate([density_c, density_f], axis=-2)
+                col_cat = jnp.concatenate([color_c, color_f], axis=-2)
+                weights_f = compositing.weights_from_unsorted(
+                    dens_cat, t_cat, rays_d
+                )
+                rgb_f = compositing.composite_rgb_with_background(
+                    weights_f,
+                    col_cat,
+                    1.0 if render.white_background else None,
+                )
+                depth_f = compositing.composite_depth(weights_f, t_cat)
+                t_all = t_cat
+            else:
+                # NeRF-paper formulation: re-evaluate the full merged,
+                # sorted sample set.
+                t_all = sampling.merge_samples(t_coarse, t_fine)
+                rgb_f, weights_f, depth_f, _, _ = self._render_stage(
+                    params, k_noise_f, rays_o, rays_d, t_all,
+                    states_x, states_d, render.density_noise_std,
+                    render.white_background,
+                )
             stages.append(rgb_f)
             weights, t_vals, depth = weights_f, t_all, depth_f
 

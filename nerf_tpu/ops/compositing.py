@@ -77,6 +77,47 @@ def weights_from_density(density: Array, dists: Array) -> Array:
     return (1.0 - alpha) * transmittance
 
 
+def weights_from_unsorted(
+    density: Array, t_vals: Array, rays_d: Array
+) -> Array:
+    """Compositing weights for samples in ARBITRARY order along each ray.
+
+    Order-free reformulation of ``weights_from_density`` for the
+    disjoint-stage hierarchical path (coarse outputs reused, fine stage
+    evaluates only the new samples): instead of sorting the merged sample
+    set — and with it permuting the MLP outputs, a gather/scatter pattern
+    TPUs serialize — every per-sample quantity is computed with dense
+    masked reductions over pairwise ``t`` comparisons:
+
+    * interval length: ``dist_i = min({t_j : t_j > t_i}) - t_i`` (masked
+      min), with the ray's last sample padded to the reference's ``1e10``;
+    * transmittance: ``T_i = exp(sum_{t_j < t_i} log(alpha_j + 1e-10))`` —
+      the log-space form of the shifted ``cumprod``.
+
+    O(S^2) comparisons per ray, but they fuse into two reductions with no
+    HBM-materialized sort or permutation; equals the sorted-path weights up
+    to product-reassociation rounding (exp-of-sum-of-logs vs cumprod).
+
+    Shapes: ``density [..., S, 1]``, ``t_vals [..., S]``, ``rays_d
+    [..., 3]`` -> weights ``[..., S, 1]`` in the INPUT sample order.
+    """
+    t_i = t_vals[..., :, None]  # [..., S, 1]
+    t_j = t_vals[..., None, :]  # [..., 1, S]
+    later = t_j > t_i
+    succ = jnp.min(jnp.where(later, t_j, jnp.inf), axis=-1)  # [..., S]
+    norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    dists = jnp.where(
+        jnp.isfinite(succ), (succ - t_vals) * norm, 1e10
+    )[..., None]
+    alpha = jnp.exp(-jax.nn.relu(density) * dists)
+    log_a = jnp.log(alpha[..., 0] + 1e-10)  # [..., S]
+    earlier = t_j < t_i
+    log_T = jnp.sum(
+        jnp.where(earlier, log_a[..., None, :], 0.0), axis=-1
+    )  # [..., S]
+    return (1.0 - alpha) * jnp.exp(log_T)[..., None]
+
+
 def compositing_weights(points: Array, density: Array) -> Array:
     """Weights from 3-D sample points + density. Ref ``model.py:437-469``."""
     return weights_from_density(density, distances_from_points(points))

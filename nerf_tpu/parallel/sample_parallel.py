@@ -196,6 +196,16 @@ def _render_rays_sample_parallel(
     return jnp.stack(stages, axis=-2), depth, acc
 
 
+def _check_render(render: RenderConfig) -> None:
+    if render.num_fine_samples > 0 and render.reuse_coarse_in_fine:
+        raise ValueError(
+            "the sample-parallel path implements the re-evaluate-everything "
+            "hierarchical formulation; pass RenderConfig("
+            "reuse_coarse_in_fine=False) so results match the single-device "
+            "renderer"
+        )
+
+
 def make_sample_parallel_render(
     model,
     render: RenderConfig,
@@ -210,6 +220,7 @@ def make_sample_parallel_render(
     """
     if SAMPLE_AXIS not in mesh.axis_names:
         raise ValueError(f"mesh must carry a '{SAMPLE_AXIS}' axis: {mesh}")
+    _check_render(render)
     num_shards = mesh.shape[SAMPLE_AXIS]
 
     def local_fn(params, rays_o, rays_d):
@@ -247,6 +258,7 @@ def make_sample_parallel_train_step(
     the gradient of its sample slice) and ``pmean``ed over the batch axis —
     the same per-update numerics as the single-device step (batch-mean MSE).
     """
+    _check_render(render)
     num_shards = mesh.shape[SAMPLE_AXIS]
 
     def local_loss(params, key, batch):

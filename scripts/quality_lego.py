@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=1000)
     ap.add_argument("--use-pallas", action="store_true", default=True)
     ap.add_argument("--compute-dtype", default="float32")
+    ap.add_argument("--fine-samples", type=int, default=0,
+                    help="enable the hierarchical pipeline: N inverse-CDF "
+                         "fine samples on top of the coarse pass (the "
+                         "notebook config is coarse-only)")
     args = ap.parse_args()
 
     cfg = ClassicNeRFConfig(
@@ -74,9 +78,11 @@ def main() -> None:
         images[:-1], pose_o[:-1], pose_r[:-1], args.focal
     )
 
-    # Notebook training config (example.ipynb cells 5-8).
+    # Notebook training config (example.ipynb cells 5-8); --fine-samples
+    # adds the hierarchical stage (disjoint-stage fine pass by default).
     train_render = RenderConfig(
-        num_coarse_samples=64, near=2.0, far=6.0,
+        num_coarse_samples=64, num_fine_samples=args.fine_samples,
+        near=2.0, far=6.0,
         randomly_sample=True, density_noise_std=1.0,
     )
     model = ClassicNeRF(cfg)
@@ -87,7 +93,8 @@ def main() -> None:
     )
 
     hold_render = RenderConfig(
-        num_coarse_samples=64, near=2.0, far=6.0,
+        num_coarse_samples=64, num_fine_samples=args.fine_samples,
+        near=2.0, far=6.0,
         randomly_sample=False, density_noise_std=0.0, rays_per_tile=2048,
     )
     t0 = time.time()

@@ -166,3 +166,58 @@ class TestWhiteBackground:
         rgb_white = model.render_rays(params, None, rays_o, rays_d, white).rgb
         np.testing.assert_allclose(rgb_black, 0.0, atol=1e-6)
         np.testing.assert_allclose(rgb_white, 1.0, atol=1e-5)
+
+
+class TestUnsortedWeights:
+    """Order-free weights (the disjoint-stage hierarchical path) must equal
+    the sorted-path quadrature up to product-reassociation rounding."""
+
+    def _random_case(self, rng, n=16, s=24):
+        t = np.sort(rng.uniform(2.0, 6.0, size=(n, s)), axis=-1).astype(
+            np.float32
+        )
+        density = rng.normal(size=(n, s, 1)).astype(np.float32) * 2.0
+        rays_d = rng.normal(size=(n, 3)).astype(np.float32)
+        return jnp.asarray(t), jnp.asarray(density), jnp.asarray(rays_d)
+
+    def test_matches_sorted_path_on_sorted_input(self, rng):
+        t, density, rays_d = self._random_case(rng)
+        sorted_w = compositing.weights_from_density(
+            density, compositing.distances_from_tvals(t, rays_d)
+        )
+        unsorted_w = compositing.weights_from_unsorted(density, t, rays_d)
+        np.testing.assert_allclose(
+            np.asarray(unsorted_w), np.asarray(sorted_w), rtol=1e-5,
+            atol=1e-6,
+        )
+
+    def test_permutation_equivariant(self, rng):
+        t, density, rays_d = self._random_case(rng, n=8, s=16)
+        perm = rng.permutation(16)
+        w_ref = compositing.weights_from_unsorted(density, t, rays_d)
+        w_shuf = compositing.weights_from_unsorted(
+            density[:, perm], t[:, perm], rays_d
+        )
+        np.testing.assert_allclose(
+            np.asarray(w_shuf), np.asarray(w_ref)[:, perm], rtol=1e-5,
+            atol=1e-6,
+        )
+
+    def test_gradients_match_sorted_path(self, rng):
+        t, density, rays_d = self._random_case(rng, n=4, s=12)
+
+        def loss_sorted(d):
+            w = compositing.weights_from_density(
+                d, compositing.distances_from_tvals(t, rays_d)
+            )
+            return jnp.sum(w * jnp.tanh(jnp.arange(12.0))[:, None])
+
+        def loss_unsorted(d):
+            w = compositing.weights_from_unsorted(d, t, rays_d)
+            return jnp.sum(w * jnp.tanh(jnp.arange(12.0))[:, None])
+
+        g_s = jax.grad(loss_sorted)(density)
+        g_u = jax.grad(loss_unsorted)(density)
+        np.testing.assert_allclose(
+            np.asarray(g_u), np.asarray(g_s), rtol=1e-4, atol=1e-5
+        )

@@ -73,7 +73,8 @@ class TestSampleParallelRender:
         model = tiny_model()
         params = model.init(jax.random.PRNGKey(0))
         render = RenderConfig(num_coarse_samples=8, num_fine_samples=8,
-                              randomly_sample=False, density_noise_std=0.0)
+                              randomly_sample=False, density_noise_std=0.0,
+                              reuse_coarse_in_fine=False)
         batch = make_batch(scene, 64)
 
         single = model.render_rays(
@@ -158,7 +159,8 @@ class TestSampleParallelTrain:
         model = tiny_model()
         opt = optax.adam(1e-3)
         render = RenderConfig(num_coarse_samples=8, num_fine_samples=8,
-                              density_noise_std=0.1)
+                              density_noise_std=0.1,
+                              reuse_coarse_in_fine=False)
         mesh = make_mesh_2d(2, 4)
         from nerf_tpu.parallel import prepare_parallel_state
 
