@@ -9,6 +9,7 @@ from nerf_tpu.parallel.mesh import (
 )
 from nerf_tpu.parallel.train import (
     make_parallel_train_step,
+    make_parallel_sampling_train_step,
     make_parallel_render,
     prepare_parallel_state,
     render_image_sharded,

@@ -35,30 +35,18 @@ from nerf_tpu.train.state import TrainState, fold_key
 Array = jax.Array
 
 
-def make_parallel_train_step(
+def _make_sharded_vag(
     model,
-    optimizer: optax.GradientTransformation,
     render: RenderConfig,
     mesh: Mesh,
     segmentation_loss_weight: float = 0.0,
-    donate: bool = True,
-) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict]]:
-    """Jitted SPMD train step: state replicated, batch ray-sharded.
-
-    The gradient computation runs under ``shard_map``: every device
-    evaluates ONLY its local ray shard (crucial for Pallas kernels, which
-    XLA's automatic partitioner would otherwise wrap in batch all-gathers,
+):
+    """shard_map'd (grads, aux) of the batch loss: every device evaluates
+    ONLY its local ray shard (crucial for Pallas kernels, which XLA's
+    automatic partitioner would otherwise wrap in batch all-gathers,
     replicating the whole computation on every chip) and the per-shard
     gradients are combined with an explicit ``pmean`` — the psum over ICI
-    that replaces NCCL all-reduce (SURVEY.md §5).  The optimizer update then
-    runs replicated.
-
-    Numerics: with ``randomly_sample=False`` the sharded step is exactly the
-    single-device step (batch-mean loss ⇒ pmean of shard-mean gradients).
-    With stochastic sampling the per-ray noise differs from the
-    single-device run (keys are folded per shard) but is identically
-    distributed.
-    """
+    that replaces NCCL all-reduce (SURVEY.md §5)."""
     from jax.sharding import PartitionSpec as P
 
     from jax import shard_map
@@ -78,12 +66,36 @@ def make_parallel_train_step(
 
     # check_vma=False: Pallas out_shapes carry no varying-mesh-axes
     # annotation, which the shard_map checker would otherwise reject.
-    sharded_vag = shard_map(
+    return shard_map(
         local_value_and_grad,
         mesh=mesh,
         in_specs=(P(), P(), P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
+    )
+
+
+def make_parallel_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    render: RenderConfig,
+    mesh: Mesh,
+    segmentation_loss_weight: float = 0.0,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict]]:
+    """Jitted SPMD train step: state replicated, batch ray-sharded.
+
+    The gradient computation runs under ``shard_map`` (see
+    ``_make_sharded_vag``); the optimizer update then runs replicated.
+
+    Numerics: with ``randomly_sample=False`` the sharded step is exactly the
+    single-device step (batch-mean loss ⇒ pmean of shard-mean gradients).
+    With stochastic sampling the per-ray noise differs from the
+    single-device run (keys are folded per shard) but is identically
+    distributed.
+    """
+    sharded_vag = _make_sharded_vag(
+        model, render, mesh, segmentation_loss_weight
     )
 
     def step(state: TrainState, batch: Dict[str, Array]):
@@ -108,6 +120,62 @@ def make_parallel_train_step(
     return jax.jit(
         step,
         in_shardings=(state_sh, data),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_parallel_sampling_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    render: RenderConfig,
+    bank,
+    batch_size: int,
+    mesh: Mesh,
+    segmentation_loss_weight: float = 0.0,
+    donate: bool = True,
+) -> Callable[[TrainState], Tuple[TrainState, Dict]]:
+    """SPMD train step with the batch gather fused in (device-resident).
+
+    The multi-chip counterpart of ``train.loop.make_sampling_train_step``:
+    the ray bank's arrays are closed over as jit constants, the random
+    index gather runs on-device, and a sharding constraint splits the
+    gathered batch over the ``batch`` mesh axis before the ``shard_map``'d
+    gradient computation.  This is what ``Trainer(mesh=...)`` drives — no
+    host-side batch plumbing per step.
+    """
+    sharded_vag = _make_sharded_vag(
+        model, render, mesh, segmentation_loss_weight
+    )
+    data = batch_sharding(mesh)
+
+    def step(state: TrainState):
+        key = fold_key(state)
+        batch = bank.sample_batch(
+            jax.random.fold_in(key, 0x5A17), batch_size
+        )
+        batch = jax.lax.with_sharding_constraint(
+            batch, {k: data for k in batch}
+        )
+        grads, aux = sharded_vag(state.params, key, batch)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            key=state.key,
+        )
+        aux["grad_norm"] = optax.global_norm(grads)
+        return new_state, aux
+
+    repl = replicated_sharding(mesh)
+    state_sh = jax.tree_util.tree_map(lambda _: repl, _state_shape_token())
+    return jax.jit(
+        step,
+        in_shardings=(state_sh,),
         out_shardings=(state_sh, repl),
         donate_argnums=(0,) if donate else (),
     )

@@ -239,7 +239,12 @@ class Trainer:
         logging_dir: Optional[str] = None,
         segmentation_loss_weight: float = 0.0,
         optimizer: Optional[optax.GradientTransformation] = None,
+        mesh=None,
     ):
+        """``mesh``: an optional ``jax.sharding.Mesh`` — when given, the
+        whole run is SPMD data-parallel over its leading (ray-batch) axis:
+        replicated state, on-device batch gather sharded across chips,
+        gradients pmean'd over ICI (``parallel/train.py``)."""
         self.model = model
         self.render = render
         self.train_cfg = train
@@ -247,6 +252,7 @@ class Trainer:
         self.logging_dir = logging_dir
         self.seg_weight = segmentation_loss_weight
         self.metrics = MetricsLogger(logging_dir)
+        self.mesh = mesh
 
     def init_state(self, resume: bool = True) -> TrainState:
         params = self.model.init(jax.random.PRNGKey(self.train_cfg.seed))
@@ -256,7 +262,11 @@ class Trainer:
         if resume and self.logging_dir:
             restored = ckpt_lib.restore_latest(self.logging_dir, state)
             if restored is not None:
-                return restored
+                state = restored
+        if self.mesh is not None:
+            from nerf_tpu.parallel.train import prepare_parallel_state
+
+            state = prepare_parallel_state(state, self.mesh)
         return state
 
     def fit(
@@ -270,14 +280,30 @@ class Trainer:
         cfg = self.train_cfg
         num_steps = num_steps or cfg.num_steps
         state = state if state is not None else self.init_state()
-        step_fn = make_sampling_train_step(
-            self.model,
-            self.optimizer,
-            self.render,
-            bank,
-            cfg.batch_size,
-            self.seg_weight,
-        )
+        if self.mesh is not None:
+            from nerf_tpu.parallel.train import (
+                make_parallel_sampling_train_step,
+            )
+
+            step_fn = make_parallel_sampling_train_step(
+                self.model,
+                self.optimizer,
+                self.render,
+                bank,
+                cfg.batch_size,
+                self.mesh,
+                self.seg_weight,
+                donate=False,
+            )
+        else:
+            step_fn = make_sampling_train_step(
+                self.model,
+                self.optimizer,
+                self.render,
+                bank,
+                cfg.batch_size,
+                self.seg_weight,
+            )
 
         import time
 

@@ -244,3 +244,63 @@ class TestDistributedHelpers:
         from nerf_tpu.parallel import distributed
 
         distributed.collective_barrier()  # must not raise on healthy mesh
+
+
+class TestParallelTrainer:
+    def test_mesh_trainer_step_matches_single_device(self, scene):
+        # Same fused-sampling step semantics: identical gather indices
+        # (fold_key-derived), deterministic render => identical losses.
+        from nerf_tpu.parallel import make_parallel_sampling_train_step
+        from nerf_tpu.train.loop import make_sampling_train_step
+
+        model = tiny_model()
+        opt = optax.adam(1e-3)
+        render = RenderConfig(num_coarse_samples=8, randomly_sample=False,
+                              density_noise_std=0.0)
+        bank = RayBank.from_images(
+            scene.images, scene.pose_o, scene.pose_r, scene.focal
+        )
+        s_single = create_train_state(model.init(jax.random.PRNGKey(0)),
+                                      opt)
+        single = make_sampling_train_step(model, opt, render, bank, 64)
+        s_single, aux_s = single(s_single)
+
+        mesh = make_mesh()
+        s_mesh = prepare_parallel_state(
+            create_train_state(model.init(jax.random.PRNGKey(0)), opt), mesh
+        )
+        pstep = make_parallel_sampling_train_step(
+            model, opt, render, bank, 64, mesh, donate=False
+        )
+        s_mesh, aux_p = pstep(s_mesh)
+        np.testing.assert_allclose(
+            float(jax.device_get(aux_p["loss"])),
+            float(jax.device_get(aux_s["loss"])), rtol=1e-5,
+        )
+
+    def test_trainer_fit_over_mesh(self, scene, tmp_path):
+        from nerf_tpu import TrainConfig
+        from nerf_tpu.train.loop import Trainer
+
+        model = tiny_model()
+        render = RenderConfig(num_coarse_samples=8, density_noise_std=0.1)
+        trainer = Trainer(
+            model, render,
+            TrainConfig(batch_size=128, learning_rate=1e-3, num_steps=20,
+                        log_interval=10, eval_interval=1000,
+                        checkpoint_interval=10),
+            logging_dir=str(tmp_path), mesh=make_mesh(),
+        )
+        bank = RayBank.from_images(
+            scene.images, scene.pose_o, scene.pose_r, scene.focal
+        )
+        state = trainer.fit(bank)
+        assert int(jax.device_get(state.step)) == 20
+        # Checkpoint written from the sharded state and resumable.
+        trainer2 = Trainer(
+            model, render,
+            TrainConfig(batch_size=128, learning_rate=1e-3, num_steps=20),
+            logging_dir=str(tmp_path), mesh=make_mesh(),
+        )
+        resumed = trainer2.init_state()
+        assert int(jax.device_get(resumed.step)) == 20
