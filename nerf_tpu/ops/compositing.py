@@ -89,10 +89,19 @@ def weights_from_unsorted(
     TPUs serialize — every per-sample quantity is computed with dense
     masked reductions over pairwise ``t`` comparisons:
 
-    * interval length: ``dist_i = min({t_j : t_j > t_i}) - t_i`` (masked
+    * interval length: ``dist_i = min({t_j : j after i}) - t_i`` (masked
       min), with the ray's last sample padded to the reference's ``1e10``;
-    * transmittance: ``T_i = exp(sum_{t_j < t_i} log(alpha_j + 1e-10))`` —
+    * transmittance: ``T_i = exp(sum_{j before i} log(alpha_j + 1e-10))`` —
       the log-space form of the shifted ``cumprod``.
+
+    "before"/"after" use a TOTAL order — ``t`` value with the array index
+    as tie-break — so duplicated t-values (an inverse-CDF fine sample
+    landing exactly on a coarse fencepost) behave exactly like the sorted
+    path's stable merge: the earlier-indexed duplicate gets a zero-length
+    interval and the later one carries the real interval, and weights still
+    sum to <= 1.  (Strict value comparisons alone would give BOTH ties the
+    full interval and exclude each other from transmittance, pushing the
+    weight sum past 1.)
 
     O(S^2) comparisons per ray, but they fuse into two reductions with no
     HBM-materialized sort or permutation; equals the sorted-path weights up
@@ -103,17 +112,21 @@ def weights_from_unsorted(
     """
     t_i = t_vals[..., :, None]  # [..., S, 1]
     t_j = t_vals[..., None, :]  # [..., 1, S]
-    later = t_j > t_i
-    succ = jnp.min(jnp.where(later, t_j, jnp.inf), axis=-1)  # [..., S]
+    idx = jnp.arange(t_vals.shape[-1])
+    idx_i = idx[:, None]
+    idx_j = idx[None, :]
+    ties = t_j == t_i
+    after = (t_j > t_i) | (ties & (idx_j > idx_i))
+    succ = jnp.min(jnp.where(after, t_j, jnp.inf), axis=-1)  # [..., S]
     norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     dists = jnp.where(
         jnp.isfinite(succ), (succ - t_vals) * norm, 1e10
     )[..., None]
     alpha = jnp.exp(-jax.nn.relu(density) * dists)
     log_a = jnp.log(alpha[..., 0] + 1e-10)  # [..., S]
-    earlier = t_j < t_i
+    before = (t_j < t_i) | (ties & (idx_j < idx_i))
     log_T = jnp.sum(
-        jnp.where(earlier, log_a[..., None, :], 0.0), axis=-1
+        jnp.where(before, log_a[..., None, :], 0.0), axis=-1
     )  # [..., S]
     return (1.0 - alpha) * jnp.exp(log_T)[..., None]
 

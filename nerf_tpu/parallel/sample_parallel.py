@@ -16,15 +16,16 @@ volume-rendering integral is completed with two cheap collectives:
 2. **Pixel reduction**: per-shard partial sums of ``w * sigmoid(c)`` (and
    depth / opacity) are combined with ``psum`` over the ``sample`` axis.
 
-Both collectives move O(rays) scalars while the O(rays x samples) MLP work
+These collectives move O(rays) scalars while the O(rays x samples) MLP work
 stays fully sharded, so the sample axis scales like a sequence-parallel
 transformer (per-token work sharded, per-sequence reductions collective).
 
-The hierarchical fine stage stays sample-parallel too: the coarse weights
-(one scalar per coarse sample) are ``all_gather``ed along ``sample``, every
-shard runs the (deterministic, shared-key) inverse-CDF resampler on the full
-weight vector, and each shard then evaluates only its slice of the merged
-coarse+fine sample list.
+The hierarchical fine stage stays sample-parallel too: the COARSE stage
+additionally ``all_gather``s its per-sample weight vector (O(rays x
+coarse_samples) floats — the one collective bigger than O(rays), needed as
+the resampler's input), every shard runs the (deterministic, shared-key)
+inverse-CDF resampler on the full weight vector, and each shard then
+evaluates only its slice of the merged coarse+fine sample list.
 
 Supports ``ClassicNeRF`` (the flagship).  ``MipNeRF`` renders S-1 intervals
 from S fenceposts with 64 intervals at HEAD — too shallow for the sample
@@ -71,14 +72,16 @@ def _sharded_stage(
     states_d: Optional[Array],
     density_noise_std: float,
     num_shards: int,
-) -> Tuple[Array, Array, Array, Array]:
+    gather_weights: bool = False,
+) -> Tuple[Array, Optional[Array], Array, Array]:
     """One compositing stage with the sample axis sharded over ``SAMPLE_AXIS``.
 
     ``t_full`` is the full per-ray fencepost vector (replicated along the
     sample mesh axis); the expensive encoder+MLP runs only on this shard's
     slice.  Returns ``(rgb, w_full, depth, acc)`` where ``rgb``/``depth``/
     ``acc`` are complete (post-``psum``) and ``w_full`` is the all-gathered
-    weight vector (needed by the hierarchical resampler).
+    weight vector (``gather_weights=True``; the coarse stage needs it as
+    the hierarchical resampler's input — the fine stage skips the gather).
     """
     t_loc = _local_slice(t_full, SAMPLE_AXIS, num_shards, axis=-1)
     _, density, color = model.forward(
@@ -121,9 +124,11 @@ def _sharded_stage(
         jnp.sum(weights[..., 0] * t_loc, axis=-1), SAMPLE_AXIS
     )
     acc = jax.lax.psum(jnp.sum(weights[..., 0], axis=-1), SAMPLE_AXIS)
-    w_full = jax.lax.all_gather(
-        weights, SAMPLE_AXIS, axis=len(weights.shape) - 2, tiled=True
-    )
+    w_full = None
+    if gather_weights:
+        w_full = jax.lax.all_gather(
+            weights, SAMPLE_AXIS, axis=len(weights.shape) - 2, tiled=True
+        )
     return rgb, w_full, depth, acc
 
 
@@ -166,6 +171,7 @@ def _render_rays_sample_parallel(
     rgb_c, w_full, depth, acc = _sharded_stage(
         model, params, k_noise_c, rays_o, rays_d, t_coarse,
         states_x, states_d, render.density_noise_std, num_shards,
+        gather_weights=render.num_fine_samples > 0,
     )
     if render.white_background:
         rgb_c = rgb_c + (1.0 - acc[..., None])
@@ -310,10 +316,11 @@ def make_sample_parallel_train_step(
             aux,
         )
 
+    from nerf_tpu.parallel.train import _state_shape_token
+
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(BATCH_AXIS))
-    state_tok = TrainState(step=0, params=0, opt_state=0, key=0)
-    state_sh = jax.tree_util.tree_map(lambda _: repl, state_tok)
+    state_sh = jax.tree_util.tree_map(lambda _: repl, _state_shape_token())
     return jax.jit(
         step,
         in_shardings=(state_sh, data),

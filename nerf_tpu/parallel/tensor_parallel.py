@@ -25,7 +25,6 @@ from __future__ import annotations
 from typing import Any, Callable, Dict
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nerf_tpu.config import ClassicNeRFConfig, MipNeRFConfig, RenderConfig
@@ -136,10 +135,13 @@ def make_tp_train_step(
 ):
     """Jitted train step with TP-sharded params (+ ray DP over ``batch``).
 
-    The optimizer state inherits the parameter shardings (optax mirrors the
-    param pytree), so Adam moments stay sharded too — the FSDP-flavored
-    benefit of TP for wide configs.  Gradient math is untouched: XLA's
-    partitioner derives the gradient collectives from the forward shardings.
+    The input state MUST be prepared with ``prepare_tp_state`` — the step
+    takes its shardings from the input arrays (XLA propagates them through
+    the whole graph and inserts the gradient collectives), so a state whose
+    params were never ``device_put`` with the TP specs would silently run
+    fully replicated.  The optimizer state mirrors the parameter shardings
+    (Adam moments stay sharded too — the FSDP-flavored benefit of TP for
+    wide configs).
     """
     import optax
 
@@ -148,12 +150,6 @@ def make_tp_train_step(
 
     _require_xla_path(model)
     loss_fn = make_loss_fn(model, render, 0.0)
-    specs = param_specs_for(model)
-    param_sh = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(
-        mesh, P(BATCH_AXIS) if BATCH_AXIS in mesh.axis_names else P()
-    )
 
     def step(state: TrainState, batch):
         key = fold_key(state)
@@ -172,10 +168,10 @@ def make_tp_train_step(
         )
         return new_state, aux
 
-    # in/out shardings: params follow the TP specs; step/key replicated;
-    # opt_state left to XLA propagation (it mirrors params leaf-for-leaf for
-    # Adam but has scalar leaves for e.g. schedules — propagation gets both
-    # right without a hand-built prefix tree).
+    # No explicit in/out shardings: they come from the prepare_tp_state'd
+    # input arrays (opt_state mirrors params leaf-for-leaf for Adam but has
+    # scalar leaves too — propagation gets both right without a hand-built
+    # prefix tree).
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 

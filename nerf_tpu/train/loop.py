@@ -18,6 +18,7 @@ TPU-native redesign of the reference's inline loops (notebook cell 8;
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -191,16 +192,10 @@ def evaluate(
     Mirrors the reference eval block (``train_conditional_nerf.py:141-153``):
     deterministic sampling, no density noise, PSNR on the full image.
     """
-    eval_render = RenderConfig(
-        num_coarse_samples=render.num_coarse_samples,
-        num_fine_samples=render.num_fine_samples,
-        near=render.near,
-        far=render.far,
-        randomly_sample=False,
-        density_noise_std=0.0,
-        rays_per_tile=render.rays_per_tile,
-        white_background=render.white_background,
-        use_ndc=render.use_ndc,
+    # dataclasses.replace keeps every other knob (including future fields)
+    # from the training config.
+    eval_render = dataclasses.replace(
+        render, randomly_sample=False, density_noise_std=0.0
     )
     b, h, w = scene.images.shape[:3]
     idx = view_index % b

@@ -221,3 +221,30 @@ class TestUnsortedWeights:
         np.testing.assert_allclose(
             np.asarray(g_u), np.asarray(g_s), rtol=1e-4, atol=1e-5
         )
+
+    def test_duplicate_t_values_match_sorted_path(self):
+        # Regression: an inverse-CDF fine sample can land exactly on a
+        # coarse fencepost.  With strict value comparisons both ties would
+        # get the full next interval and exclude each other from
+        # transmittance (weight sum > 1); the index tie-break must
+        # reproduce the stable-merge semantics instead.
+        t = jnp.asarray([[1.0, 2.0, 2.0, 3.0]])
+        density = jnp.ones((1, 4, 1))
+        rays_d = jnp.asarray([[1.0, 0.0, 0.0]])
+        w_sorted = compositing.weights_from_density(
+            density, compositing.distances_from_tvals(t, rays_d)
+        )
+        w_unsorted = compositing.weights_from_unsorted(density, t, rays_d)
+        np.testing.assert_allclose(
+            np.asarray(w_unsorted), np.asarray(w_sorted), rtol=1e-6,
+            atol=1e-7,
+        )
+        assert float(jnp.sum(w_unsorted)) <= 1.0 + 1e-6
+
+    def test_duplicates_out_of_order_still_sum_le_one(self):
+        # Ties split across an arbitrary input order (coarse ++ fine).
+        t = jnp.asarray([[2.0, 1.0, 3.0, 2.0]])
+        density = jnp.ones((1, 4, 1)) * 3.0
+        rays_d = jnp.asarray([[0.0, 1.0, 0.0]])
+        w = compositing.weights_from_unsorted(density, t, rays_d)
+        assert float(jnp.sum(w)) <= 1.0 + 1e-6
