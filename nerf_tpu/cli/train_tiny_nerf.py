@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-pallas", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the ray batch over all visible chips "
+                        "(1-D batch mesh; replicated params, psum "
+                        "gradients over ICI)")
     # Synthetic-fallback scene size (used only when --data is absent).
     p.add_argument("--synthetic-views", type=int, default=24)
     p.add_argument("--synthetic-hw", type=int, default=100)
@@ -93,9 +97,15 @@ def main(argv=None) -> None:
         checkpoint_interval=args.log_interval,
         seed=args.seed,
     )
+    mesh = None
+    if args.data_parallel:
+        from nerf_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
     trainer = Trainer(model, render, train_cfg,
                       logging_dir=args.logging_dir,
-                      optimizer=optax.adam(args.learning_rate))
+                      optimizer=optax.adam(args.learning_rate),
+                      mesh=mesh)
     state = trainer.init_state(resume=args.resume)
     state = trainer.fit(bank, eval_scene=scene, state=state)
 

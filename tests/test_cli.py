@@ -37,6 +37,25 @@ class TestTinyNerfCli:
         assert any(n.endswith(".pth") for n in names), names
         assert any("checkpoint" in n for n in names), names
 
+    def test_data_parallel_flag(self, tmp_path):
+        # The --data-parallel flag drives the mesh Trainer over all 8
+        # virtual devices end-to-end.
+        from nerf_tpu.cli import train_tiny_nerf
+
+        logdir = str(tmp_path / "dp_run")
+        train_tiny_nerf.main([
+            "--logging-dir", logdir,
+            "--data", str(tmp_path / "missing.npz"),
+            "--num-steps", "6",
+            "--batch-size", "128",
+            "--num-samples-per-ray", "8",
+            "--log-interval", "3",
+            "--synthetic-views", "3",
+            "--synthetic-hw", "24",
+            "--data-parallel",
+        ])
+        assert os.path.exists(os.path.join(logdir, "params.json"))
+
 
 class TestConditionalCli:
     def test_short_training_run(self, tmp_path):
