@@ -65,17 +65,28 @@ def _time_chain(run, state, repeats: int = 3) -> float:
 
 
 def bench_train_step(
-    model, render, batch_size: int, k1: int = 8, k2: int = 40
+    model, render, batch_size: int, k1: int = 8, k2: int = 40,
+    fused: bool = False,
 ) -> float:
-    """Steady-state seconds/step via chain-length differencing."""
-    from nerf_tpu.train import create_train_state, make_multi_step_train_fn
+    """Steady-state seconds/step via chain-length differencing.
 
+    ``fused=True`` uses the fully-fused train kernel (forward + compositing
+    + MSE + backward in ONE Pallas call, ops/pallas/fused_train.py) — the
+    fastest coarse-only path; hierarchical configs use the general trainer.
+    """
+    from nerf_tpu.train import (
+        create_train_state,
+        make_fused_multi_step_train_fn,
+        make_multi_step_train_fn,
+    )
+
+    maker = make_fused_multi_step_train_fn if fused else make_multi_step_train_fn
     opt = optax.adam(1e-4)
     bank = _random_bank()
 
     results = {}
     for k in (k1, k2):
-        run = make_multi_step_train_fn(model, opt, render, bank, batch_size, k)
+        run = maker(model, opt, render, bank, batch_size, k)
         state = create_train_state(model.init(jax.random.PRNGKey(0)), opt)
         state, aux = run(state)  # compile + warm
         float(jax.device_get(aux["loss"])[-1])
@@ -123,7 +134,7 @@ def main() -> None:
         num_coarse_samples=64, near=2.0, far=6.0,
         randomly_sample=True, density_noise_std=1.0,
     )
-    t64 = _retry(lambda: bench_train_step(model, render64, batch))
+    t64 = _retry(lambda: bench_train_step(model, render64, batch, fused=True))
     rays_per_s = batch / t64
     log(f"train step, {batch} rays x 64 samples: {rays_per_s:,.0f} rays/s")
     from nerf_tpu.utils.profiling import train_step_flops

@@ -353,16 +353,22 @@ def _bwd_means(dxhat, xhat, dtype):
 _BWD_SPLITS = 2
 
 
-def _bwd_slice(x, d, g_dens, g_col, w, dt):
+def _bwd_slice(x, d, g_dens, g_col, w, dt, chain=None):
     """Full backward math for one row-slice.
 
     Returns (dx, dd, grads) where grads maps _PACK_ORDER names (minus the
     two input grads) to VALUE contributions — the caller accumulates them
     into the output refs, so independent slices form independent dataflow.
+
+    ``chain``: a precomputed forward chain (fused train kernel, where the
+    forward ran in the same kernel invocation and its activations are still
+    VMEM-resident); ``None`` rematerializes it (the two-kernel custom-VJP
+    path, where the forward ran in a separate kernel).
     """
-    # Rematerialize the forward, keeping only (xhat, inv, thr) per layer —
-    # the backward sweep reuses the forward's LayerNorm statistics.
-    chain, _, _ = _forward_chain(x, d, w, dt, keep=True)
+    if chain is None:
+        # Rematerialize the forward, keeping only (xhat, inv, thr) per
+        # layer — the backward sweep reuses the forward's LN statistics.
+        chain, _, _ = _forward_chain(x, d, w, dt, keep=True)
 
     grads = {}
     db = [None] * NUM_LAYERS

@@ -221,6 +221,110 @@ def evaluate(
     return image, value
 
 
+def make_fused_multi_step_train_fn(
+    model,
+    optimizer: optax.GradientTransformation,
+    render: RenderConfig,
+    bank: RayBank,
+    batch_size: int,
+    num_steps: int,
+) -> Callable[[TrainState], Tuple[TrainState, Dict]]:
+    """K-step trainer on the fully-fused train kernel (fastest path).
+
+    Like ``make_multi_step_train_fn`` but the forward + compositing + MSE +
+    backward all run inside ONE Pallas call per step
+    (``ops/pallas/fused_train.py``) — no forward rematerialization in the
+    backward, no kernel-boundary HBM round-trips for density/color.  PRNG
+    semantics mirror ``render_rays``' key split, so losses track the
+    two-kernel path to float tolerance.
+
+    Restricted to the coarse-only classic config (hierarchical and
+    latent-conditioned training use the general path).
+    """
+    from nerf_tpu.config import ClassicNeRFConfig
+    from nerf_tpu.ops import compositing, sampling
+    from nerf_tpu.ops.pallas import fused_mlp, fused_train
+
+    cfg = model.cfg
+    if not isinstance(cfg, ClassicNeRFConfig):
+        raise ValueError("fused train step covers ClassicNeRF only")
+    if not fused_mlp.supports_classic_config(cfg):
+        raise ValueError(
+            "fused train step requires the reference architecture family "
+            "(trunk_blocks=(4,4), view_branch_depth=2, use_viewdirs)"
+        )
+    if render.num_fine_samples > 0:
+        raise ValueError(
+            "fused train step is coarse-only; use make_multi_step_train_fn "
+            "for hierarchical training"
+        )
+    if bank.states_x is not None or bank.states_d is not None:
+        raise ValueError(
+            "fused train step does not take latent conditioning"
+        )
+    num_samples = render.num_coarse_samples
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    def one_step(state: TrainState, _):
+        key = fold_key(state)
+        batch = bank.sample_batch(
+            jax.random.fold_in(key, 0x5A17), batch_size
+        )
+        # Mirror render_rays' split (k_strat, k_noise_c, k_pdf, k_noise_f).
+        k_strat, k_noise, _, _ = jax.random.split(key, 4)
+        t_vals = sampling.sample_linear(
+            k_strat,
+            (batch_size,),
+            num_samples,
+            render.near,
+            render.far,
+            randomly_sample=render.randomly_sample,
+            dtype=batch["rays_o"].dtype,
+        )
+        dists = compositing.distances_from_tvals(t_vals, batch["rays_d"])
+        points = (
+            batch["rays_o"][:, None, :]
+            + batch["rays_d"][:, None, :] * t_vals[..., None]
+        )
+        x_enc = model.encode_position(points)
+        dirs = jnp.broadcast_to(batch["rays_d"][:, None, :], points.shape)
+        d_enc = model.encode_direction(dirs)
+        if render.density_noise_std > 0.0:
+            # Dense [B, S] draw: same values as render_rays' [B, S, 1]
+            # (counter-based PRNG), but the [N, 1] shape runs threefry in
+            # 128x lane-padded registers (~1 ms/step measured on v5e).
+            noise = render.density_noise_std * jax.random.normal(
+                k_noise, (batch_size, num_samples)
+            )
+        else:
+            noise = jnp.zeros((batch_size, num_samples))
+        loss, grads = fused_train.classic_train_grads_pallas(
+            state.params,
+            x_enc,
+            d_enc,
+            dists,
+            noise,
+            batch["pixels"],
+            num_samples,
+            compute_dtype=dtype,
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        aux = {"loss": loss, "rgb_loss": loss, "fine_mse": loss}
+        return (
+            TrainState(state.step + 1, params, opt_state, state.key),
+            aux,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(state: TrainState):
+        return jax.lax.scan(one_step, state, None, length=num_steps)
+
+    return run
+
+
 class Trainer:
     """End-to-end training driver (the library layer the reference's inline
     scripts never had): device-resident data, fused steps, periodic eval,

@@ -48,6 +48,9 @@ def main() -> None:
                     help="enable the hierarchical pipeline: N inverse-CDF "
                          "fine samples on top of the coarse pass (the "
                          "notebook config is coarse-only)")
+    ap.add_argument("--fused", action="store_true",
+                    help="train through the fully-fused train kernel "
+                         "(ops/pallas/fused_train.py; coarse-only)")
     args = ap.parse_args()
 
     cfg = ClassicNeRFConfig(
@@ -88,9 +91,16 @@ def main() -> None:
     model = ClassicNeRF(cfg)
     opt = optax.adam(args.lr)
     state = create_train_state(model.init(jax.random.PRNGKey(0)), opt)
-    run = make_multi_step_train_fn(
-        model, opt, train_render, bank, args.batch_size, args.chunk
-    )
+    if args.fused:
+        from nerf_tpu.train import make_fused_multi_step_train_fn
+
+        run = make_fused_multi_step_train_fn(
+            model, opt, train_render, bank, args.batch_size, args.chunk
+        )
+    else:
+        run = make_multi_step_train_fn(
+            model, opt, train_render, bank, args.batch_size, args.chunk
+        )
 
     hold_render = RenderConfig(
         num_coarse_samples=64, num_fine_samples=args.fine_samples,

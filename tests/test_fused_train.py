@@ -1,0 +1,184 @@
+"""Fully-fused train kernel (fwd + compositing + MSE + bwd in one Pallas
+call): loss and gradients must match the two-kernel / XLA path.
+
+Runs in Pallas interpret mode on CPU (like the other kernel tests); the
+full-size reference architecture is required by the kernel."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerf_tpu import ClassicNeRF, ClassicNeRFConfig, RenderConfig
+from nerf_tpu.data import RayBank, synthesize_scene
+from nerf_tpu.ops import compositing, sampling
+from nerf_tpu.ops.pallas import fused_train
+from nerf_tpu.train import (
+    create_train_state,
+    make_fused_multi_step_train_fn,
+    make_loss_fn,
+    make_multi_step_train_fn,
+)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return synthesize_scene(num_views=3, image_hw=16, focal=20.0,
+                            num_samples=64)
+
+
+@pytest.fixture(scope="module")
+def bank(scene):
+    return RayBank.from_images(
+        scene.images, scene.pose_o, scene.pose_r, scene.focal
+    )
+
+
+def full_model(dtype="float32"):
+    # The kernel covers the reference architecture family only.
+    return ClassicNeRF(
+        ClassicNeRFConfig(
+            normalize_position=6.0, use_pallas=False, compute_dtype=dtype
+        )
+    )
+
+
+class TestLossAndGradParity:
+    def _setup(self, bank, n_rays=32, num_samples=8, noise=False):
+        model = full_model()
+        params = model.init(jax.random.PRNGKey(0))
+        batch = bank.gather(jnp.arange(n_rays))
+        render = RenderConfig(
+            num_coarse_samples=num_samples, near=2.0, far=6.0,
+            randomly_sample=noise, density_noise_std=1.0 if noise else 0.0,
+        )
+        key = jax.random.PRNGKey(3) if noise else None
+        return model, params, batch, render, key
+
+    def _fused(self, model, params, batch, render, key):
+        n_rays = batch["rays_o"].shape[0]
+        s = render.num_coarse_samples
+        if key is not None:
+            k_strat, k_noise, _, _ = jax.random.split(key, 4)
+        else:
+            k_strat = k_noise = None
+        t_vals = sampling.sample_linear(
+            k_strat, (n_rays,), s, render.near, render.far,
+            randomly_sample=render.randomly_sample,
+            dtype=batch["rays_o"].dtype,
+        )
+        dists = compositing.distances_from_tvals(t_vals, batch["rays_d"])
+        points = (
+            batch["rays_o"][:, None, :]
+            + batch["rays_d"][:, None, :] * t_vals[..., None]
+        )
+        x_enc = model.encode_position(points)
+        dirs = jnp.broadcast_to(batch["rays_d"][:, None, :], points.shape)
+        d_enc = model.encode_direction(dirs)
+        if render.density_noise_std > 0.0:
+            # [B, S] draw == render_rays' [B, S, 1] values (counter-based
+            # PRNG is shape-layout invariant at equal element count).
+            noise = render.density_noise_std * jax.random.normal(
+                k_noise, (n_rays, s)
+            )
+        else:
+            noise = jnp.zeros((n_rays, s))
+        return fused_train.classic_train_grads_pallas(
+            params, x_enc, d_enc, dists, noise, batch["pixels"], s
+        )
+
+    def test_deterministic_loss_and_grads_match_xla(self, bank):
+        model, params, batch, render, key = self._setup(bank)
+        loss_fn = make_loss_fn(model, render)
+        (loss_ref, _), grads_ref = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, None, batch)
+        loss_fused, grads_fused = self._fused(
+            model, params, batch, render, None
+        )
+        np.testing.assert_allclose(
+            float(loss_fused), float(loss_ref), rtol=1e-5
+        )
+        # Normalized comparison: the in-kernel exp(sum log) transmittance
+        # reassociates the cumprod, and near-zero gradient entries amplify
+        # that float noise.
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a) / (np.abs(np.asarray(b)).max() + 1e-12),
+                np.asarray(b) / (np.abs(np.asarray(b)).max() + 1e-12),
+                atol=2e-4,
+            ),
+            grads_fused, grads_ref,
+        )
+
+    def test_stochastic_loss_and_grads_match_xla(self, bank):
+        # Same PRNG key => same t-jitter and density noise as render_rays.
+        model, params, batch, render, key = self._setup(bank, noise=True)
+        loss_fn = make_loss_fn(model, render)
+        (loss_ref, _), grads_ref = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, key, batch)
+        loss_fused, grads_fused = self._fused(
+            model, params, batch, render, key
+        )
+        np.testing.assert_allclose(
+            float(loss_fused), float(loss_ref), rtol=1e-5
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a) / (np.abs(np.asarray(b)).max() + 1e-12),
+                np.asarray(b) / (np.abs(np.asarray(b)).max() + 1e-12),
+                atol=2e-4,
+            ),
+            grads_fused, grads_ref,
+        )
+
+    def test_unpack_roundtrips_pack(self):
+        from nerf_tpu.ops.pallas.fused_mlp import pack_classic_params
+
+        model = full_model()
+        params = model.init(jax.random.PRNGKey(1))
+        packed = pack_classic_params(params)
+        restored = fused_train.unpack_classic_grads(packed, params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            restored, params,
+        )
+
+
+class TestFusedMultiStep:
+    def test_matches_general_multi_step_losses(self, bank):
+        model = full_model()
+        opt = optax.adam(1e-3)
+        render = RenderConfig(num_coarse_samples=8, near=2.0, far=6.0,
+                              randomly_sample=True, density_noise_std=0.5)
+        runs = {}
+        for name, maker in (
+            ("general", make_multi_step_train_fn),
+            ("fused", make_fused_multi_step_train_fn),
+        ):
+            run = maker(model, opt, render, bank, 32, 5)
+            state = create_train_state(model.init(jax.random.PRNGKey(0)),
+                                       opt)
+            state, aux = run(state)
+            runs[name] = np.asarray(jax.device_get(aux["loss"]))
+        # Step 1 is a pure single-step parity check; later steps compound
+        # the transmittance-reassociation float noise through Adam, so the
+        # trajectory tolerance widens with step count.
+        np.testing.assert_allclose(
+            runs["fused"][0], runs["general"][0], rtol=2e-4
+        )
+        np.testing.assert_allclose(
+            runs["fused"], runs["general"], rtol=1e-2
+        )
+
+    def test_rejects_hierarchical_config(self, bank):
+        model = full_model()
+        render = RenderConfig(num_coarse_samples=8, num_fine_samples=8)
+        with pytest.raises(ValueError):
+            make_fused_multi_step_train_fn(
+                model, optax.adam(1e-3), render, bank, 32, 2
+            )
