@@ -119,8 +119,17 @@ def _seg_exclusive_suffix(v: Array, pos: Array, num_samples: int) -> Array:
     return out
 
 
+def _seg_total(v, pos, num_samples):
+    """Within-ray total, broadcast back to every row of the ray."""
+    return (
+        _seg_exclusive_prefix(v, pos, num_samples)
+        + v
+        + _seg_exclusive_suffix(v, pos, num_samples)
+    )
+
+
 def _compositing_fwd_bwd(density, color, dists, pix, pos, g_scale,
-                         num_samples):
+                         num_samples, white_background):
     """In-kernel compositing + MSE forward AND backward for one slice.
 
     All inputs row-major ``[rows, .]``; ``pix`` is the target pixel
@@ -128,6 +137,10 @@ def _compositing_fwd_bwd(density, color, dists, pix, pos, g_scale,
     [rows, 1], g_col [rows, C])`` where ``loss_sum`` sums
     ``mean_c(err^2) / S`` over rows (summing over all rays' rows and
     dividing by the ray count outside reproduces the batch-mean MSE).
+
+    ``white_background`` adds the standard solid-white blend
+    ``rgb + (1 - sum_i w_i)`` (``compositing.
+    composite_rgb_with_background``) with its gradient.
     """
     alpha = jnp.exp(-jnp.maximum(density, 0.0) * dists)
     a_eps = alpha + 1e-10
@@ -138,13 +151,10 @@ def _compositing_fwd_bwd(density, color, dists, pix, pos, g_scale,
 
     sig = jax.nn.sigmoid(color)  # [rows, C]
     ws = weights * sig
-    # Per-ray total broadcast back to every row: excl-prefix + self +
-    # excl-suffix.
-    rgb = (
-        _seg_exclusive_prefix(ws, pos, num_samples)
-        + ws
-        + _seg_exclusive_suffix(ws, pos, num_samples)
-    )
+    rgb = _seg_total(ws, pos, num_samples)
+    if white_background:
+        acc = _seg_total(weights, pos, num_samples)  # [rows, 1]
+        rgb = rgb + (1.0 - acc)
     err = rgb - pix  # [rows, C], constant within each ray
     # Kept 2-D end-to-end ([1, 1] result): Mosaic rejects the relayouts a
     # 1-D intermediate would need.
@@ -158,7 +168,12 @@ def _compositing_fwd_bwd(density, color, dists, pix, pos, g_scale,
     # ---- backward ----
     g_rgb = err * g_scale  # dL/drgb, already per-row (err is broadcast)
     g_col = ws * (1.0 - sig) * g_rgb
-    g_w = jnp.sum(sig * g_rgb, axis=-1, keepdims=True)  # [rows, 1]
+    if white_background:
+        # rgb_c = sum_i w_i sig_ic + (1 - sum_i w_i)
+        # => dL/dw_i = sum_c (sig_ic - 1) g_rgb_c
+        g_w = jnp.sum((sig - 1.0) * g_rgb, axis=-1, keepdims=True)
+    else:
+        g_w = jnp.sum(sig * g_rgb, axis=-1, keepdims=True)  # [rows, 1]
 
     g_alpha = -trans * g_w
     g_logt = (1.0 - alpha) * trans * g_w
@@ -175,7 +190,8 @@ def _compositing_fwd_bwd(density, color, dists, pix, pos, g_scale,
 _AUX_WIDTH_BASE = 2  # dist + noise; pixels follow
 
 
-def _train_kernel(*refs, compute_dtype, num_samples, g_scale):
+def _train_kernel(*refs, compute_dtype, num_samples, g_scale,
+                  white_background):
     (x_ref, d_ref, aux_ref) = refs[0:3]
     w = dict(zip(_PACK_ORDER, refs[3 : 3 + len(_PACK_ORDER)]))
     outs = refs[3 + len(_PACK_ORDER) :]
@@ -212,7 +228,7 @@ def _train_kernel(*refs, compute_dtype, num_samples, g_scale):
 
         sl_loss, g_dens, g_col = _compositing_fwd_bwd(
             density, color, aux[:, 0:1], aux[:, _AUX_WIDTH_BASE:],
-            pos, g_scale, num_samples,
+            pos, g_scale, num_samples, white_background,
         )
         loss_sum = loss_sum + sl_loss
 
@@ -259,6 +275,7 @@ def classic_train_grads_pallas(
     pixels: Array,
     num_samples: int,
     compute_dtype=jnp.float32,
+    white_background: bool = False,
     interpret: bool | None = None,
 ) -> Tuple[Array, Dict[str, Any]]:
     """One fused evaluation of the coarse-only classic train objective.
@@ -329,6 +346,7 @@ def classic_train_grads_pallas(
             compute_dtype=compute_dtype,
             num_samples=num_samples,
             g_scale=2.0 / (cols * n_rays),
+            white_background=white_background,
         ),
         out_shape=out_shapes,
         grid=(grid,),

@@ -307,6 +307,7 @@ def make_fused_multi_step_train_fn(
             batch["pixels"],
             num_samples,
             compute_dtype=dtype,
+            white_background=render.white_background,
         )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params

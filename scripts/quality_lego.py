@@ -92,15 +92,10 @@ def main() -> None:
     opt = optax.adam(args.lr)
     state = create_train_state(model.init(jax.random.PRNGKey(0)), opt)
     if args.fused:
-        from nerf_tpu.train import make_fused_multi_step_train_fn
-
-        run = make_fused_multi_step_train_fn(
-            model, opt, train_render, bank, args.batch_size, args.chunk
-        )
+        from nerf_tpu.train import make_fused_multi_step_train_fn as maker
     else:
-        run = make_multi_step_train_fn(
-            model, opt, train_render, bank, args.batch_size, args.chunk
-        )
+        maker = make_multi_step_train_fn
+    run = maker(model, opt, train_render, bank, args.batch_size, args.chunk)
 
     hold_render = RenderConfig(
         num_coarse_samples=64, num_fine_samples=args.fine_samples,

@@ -85,7 +85,8 @@ class TestLossAndGradParity:
         else:
             noise = jnp.zeros((n_rays, s))
         return fused_train.classic_train_grads_pallas(
-            params, x_enc, d_enc, dists, noise, batch["pixels"], s
+            params, x_enc, d_enc, dists, noise, batch["pixels"], s,
+            white_background=render.white_background,
         )
 
     def test_deterministic_loss_and_grads_match_xla(self, bank):
@@ -103,6 +104,30 @@ class TestLossAndGradParity:
         # Normalized comparison: the in-kernel exp(sum log) transmittance
         # reassociates the cumprod, and near-zero gradient entries amplify
         # that float noise.
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a) / (np.abs(np.asarray(b)).max() + 1e-12),
+                np.asarray(b) / (np.abs(np.asarray(b)).max() + 1e-12),
+                atol=2e-4,
+            ),
+            grads_fused, grads_ref,
+        )
+
+    def test_white_background_loss_and_grads_match_xla(self, bank):
+        model, params, batch, render, key = self._setup(bank)
+        import dataclasses
+
+        render = dataclasses.replace(render, white_background=True)
+        loss_fn = make_loss_fn(model, render)
+        (loss_ref, _), grads_ref = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, None, batch)
+        loss_fused, grads_fused = self._fused(
+            model, params, batch, render, None
+        )
+        np.testing.assert_allclose(
+            float(loss_fused), float(loss_ref), rtol=1e-5
+        )
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a) / (np.abs(np.asarray(b)).max() + 1e-12),
