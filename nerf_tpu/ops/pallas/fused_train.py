@@ -183,7 +183,7 @@ def _compositing_fwd_bwd(density, color, dists, pix, pos, g_scale,
     g_dens = g_alpha * (-dists * alpha) * (density > 0.0).astype(
         jnp.float32
     )
-    return loss_sum, g_dens, g_col
+    return loss_sum, g_dens, g_col, weights
 
 
 # Packed per-row scalar lanes: [dist, noise, pixel_r, pixel_g, pixel_b].
@@ -191,12 +191,13 @@ _AUX_WIDTH_BASE = 2  # dist + noise; pixels follow
 
 
 def _train_kernel(*refs, compute_dtype, num_samples, g_scale,
-                  white_background):
+                  white_background, emit_weights):
     (x_ref, d_ref, aux_ref) = refs[0:3]
     w = dict(zip(_PACK_ORDER, refs[3 : 3 + len(_PACK_ORDER)]))
     outs = refs[3 + len(_PACK_ORDER) :]
     (loss_ref, dw0_ref, dwx_ref, dwdin_ref, dwhh_ref, db_ref, dg_ref,
-     dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref) = outs
+     dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref) = outs[:12]
+    w_out_ref = outs[12] if emit_weights else None
     flat_refs = {
         "w0": dw0_ref, "wx": dwx_ref, "wd_in": dwdin_ref,
         "w_dens": dwdens_ref, "b_dens": dbdens_ref,
@@ -226,10 +227,12 @@ def _train_kernel(*refs, compute_dtype, num_samples, g_scale,
         chain, density, color = _forward_chain(x, d, w, dt, keep=True)
         density = density + aux[:, 1:2]
 
-        sl_loss, g_dens, g_col = _compositing_fwd_bwd(
+        sl_loss, g_dens, g_col, cweights = _compositing_fwd_bwd(
             density, color, aux[:, 0:1], aux[:, _AUX_WIDTH_BASE:],
             pos, g_scale, num_samples, white_background,
         )
+        if emit_weights:
+            w_out_ref[sl, :] = cweights
         loss_sum = loss_sum + sl_loss
 
         # ... so the backward sweep runs with NO forward recompute.
@@ -276,6 +279,8 @@ def classic_train_grads_pallas(
     num_samples: int,
     compute_dtype=jnp.float32,
     white_background: bool = False,
+    loss_weight: float = 1.0,
+    return_weights: bool = False,
     interpret: bool | None = None,
 ) -> Tuple[Array, Dict[str, Any]]:
     """One fused evaluation of the coarse-only classic train objective.
@@ -293,10 +298,16 @@ def classic_train_grads_pallas(
         compute_dtype: matmul input dtype (bf16 halves encoding HBM
             traffic; see fused_mlp).
 
+    ``loss_weight`` scales the objective (hierarchical training weights
+    each stage by 1/num_stages, matching the stage-mean MSE).
+    ``return_weights=True`` additionally returns the per-sample compositing
+    weights ``[rays, S]`` (the hierarchical resampler's input).
+
     Returns:
         ``(loss, grads)`` — the scalar stage-broadcast MSE (identical
         normalization to ``train.loop.make_loss_fn`` for a single stage)
-        and a gradient pytree matching ``params``.
+        and a gradient pytree matching ``params`` — plus ``weights`` when
+        ``return_weights``.
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -338,15 +349,20 @@ def classic_train_grads_pallas(
         jax.ShapeDtypeStruct(wshapes["w_col"], jnp.float32),
         jax.ShapeDtypeStruct(wshapes["b_col"], jnp.float32),
     ]
-    out_specs = [_full_spec(s.shape) for s in out_shapes]
+    if return_weights:
+        out_shapes.append(jax.ShapeDtypeStruct((total, 1), jnp.float32))
+    out_specs = [_full_spec(s.shape) for s in out_shapes[:12]]
+    if return_weights:
+        out_specs.append(_tile_spec(tile, 1))
 
     outs = pl.pallas_call(
         functools.partial(
             _train_kernel,
             compute_dtype=compute_dtype,
             num_samples=num_samples,
-            g_scale=2.0 / (cols * n_rays),
+            g_scale=loss_weight * 2.0 / (cols * n_rays),
             white_background=white_background,
+            emit_weights=return_weights,
         ),
         out_shape=out_shapes,
         grid=(grid,),
@@ -361,9 +377,12 @@ def classic_train_grads_pallas(
         compiler_params=_VMEM_LIMIT,
     )(x2, d2, aux, *weights)
 
-    loss = outs[0][0, 0] / n_rays
-    packed_grads = dict(zip(_PACK_ORDER, outs[1:]))
-    return loss, unpack_classic_grads(packed_grads, params)
+    loss = loss_weight * outs[0][0, 0] / n_rays
+    packed_grads = dict(zip(_PACK_ORDER, outs[1:12]))
+    grads = unpack_classic_grads(packed_grads, params)
+    if return_weights:
+        return loss, grads, outs[12].reshape(n_rays, num_samples)
+    return loss, grads
 
 
 def unpack_classic_grads(

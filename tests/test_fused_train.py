@@ -200,10 +200,33 @@ class TestFusedMultiStep:
             runs["fused"], runs["general"], rtol=1e-2
         )
 
-    def test_rejects_hierarchical_config(self, bank):
+    def test_hierarchical_matches_general_reevaluate_losses(self, bank):
+        # The fused hierarchical trainer implements the re-evaluate
+        # (reuse_coarse_in_fine=False) formulation as two fused stages.
+        import dataclasses
+
         model = full_model()
-        render = RenderConfig(num_coarse_samples=8, num_fine_samples=8)
-        with pytest.raises(ValueError):
-            make_fused_multi_step_train_fn(
-                model, optax.adam(1e-3), render, bank, 32, 2
-            )
+        opt = optax.adam(1e-3)
+        render = RenderConfig(num_coarse_samples=8, num_fine_samples=8,
+                              near=2.0, far=6.0, randomly_sample=True,
+                              density_noise_std=0.5,
+                              reuse_coarse_in_fine=False)
+        runs = {}
+        for name, maker in (
+            ("general", make_multi_step_train_fn),
+            ("fused", make_fused_multi_step_train_fn),
+        ):
+            run = maker(model, opt, render, bank, 32, 4)
+            state = create_train_state(model.init(jax.random.PRNGKey(0)),
+                                       opt)
+            state, aux = run(state)
+            runs[name] = np.asarray(jax.device_get(aux["loss"]))
+        np.testing.assert_allclose(
+            runs["fused"][0], runs["general"][0], rtol=5e-4
+        )
+        # Later steps: float-tolerance weight differences shift the
+        # inverse-CDF fine-sample POSITIONS, so trajectories decorrelate
+        # faster than the coarse-only case — the strict check is step 1.
+        np.testing.assert_allclose(
+            runs["fused"], runs["general"], rtol=5e-2
+        )
