@@ -230,3 +230,40 @@ class TestFusedMultiStep:
         np.testing.assert_allclose(
             runs["fused"], runs["general"], rtol=5e-2
         )
+
+
+class TestSegmentedLadders:
+    def test_prefix_suffix_match_numpy_for_odd_sample_counts(self):
+        # The Hillis-Steele doubling with pos-guards must be exact for any
+        # S (not just powers of two) — the ladder reach must cover S-1.
+        from nerf_tpu.ops.pallas.fused_train import (
+            _seg_exclusive_prefix,
+            _seg_exclusive_suffix,
+        )
+
+        rng = np.random.default_rng(0)
+        for s in (2, 3, 5, 7, 12, 17, 33, 64):
+            rays = 6
+            v = rng.normal(size=(rays * s, 2)).astype(np.float32)
+            pos = np.arange(rays * s).reshape(-1, 1) % s
+            got_p = np.asarray(
+                _seg_exclusive_prefix(jnp.asarray(v), jnp.asarray(pos), s)
+            )
+            got_s = np.asarray(
+                _seg_exclusive_suffix(jnp.asarray(v), jnp.asarray(pos), s)
+            )
+            seg = v.reshape(rays, s, 2)
+            cs = np.cumsum(seg, axis=1)
+            want_p = np.concatenate(
+                [np.zeros((rays, 1, 2), np.float32), cs[:, :-1]], axis=1
+            ).reshape(-1, 2)
+            rs = np.cumsum(seg[:, ::-1], axis=1)[:, ::-1]
+            want_s = np.concatenate(
+                [rs[:, 1:], np.zeros((rays, 1, 2), np.float32)], axis=1
+            ).reshape(-1, 2)
+            # atol 1e-5: the ladder and numpy's cumsum reassociate sums
+            # of up to S f32 terms differently.
+            np.testing.assert_allclose(got_p, want_p, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"prefix S={s}")
+            np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"suffix S={s}")
