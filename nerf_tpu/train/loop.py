@@ -280,9 +280,17 @@ def make_fused_multi_step_train_fn(
             batch["rays_o"][:, None, :]
             + batch["rays_d"][:, None, :] * t_vals[..., None]
         )
-        x_enc = model.encode_position(points)
+        # Encode on flattened points: gradients don't flow through the
+        # encodings here (the kernel returns param grads directly), and the
+        # flat shape lets the sine fusion write the kernel's row-major
+        # layout directly (measured ~+1% vs encoding in [B, S, .]).
         dirs = jnp.broadcast_to(batch["rays_d"][:, None, :], points.shape)
-        d_enc = model.encode_direction(dirs)
+        x_enc = model.encode_position(points.reshape(-1, 3)).reshape(
+            batch_size, s, -1
+        )
+        d_enc = model.encode_direction(dirs.reshape(-1, 3)).reshape(
+            batch_size, s, -1
+        )
         if render.density_noise_std > 0.0 and k_noise is not None:
             # Dense [B, S] draw: same values as render_rays' [B, S, 1]
             # (counter-based PRNG), but the [N, 1] shape runs threefry in
