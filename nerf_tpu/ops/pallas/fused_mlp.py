@@ -353,7 +353,8 @@ def _bwd_means(dxhat, xhat, dtype):
 _BWD_SPLITS = 2
 
 
-def _bwd_slice(x, d, g_dens, g_col, w, dt, chain=None):
+def _bwd_slice(x, d, g_dens, g_col, w, dt, chain=None,
+               input_grads=True):
     """Full backward math for one row-slice.
 
     Returns (dx, dd, grads) where grads maps _PACK_ORDER names (minus the
@@ -395,7 +396,7 @@ def _bwd_slice(x, d, g_dens, g_col, w, dt, chain=None):
     dpre, h8 = layer_bwd(8, _dot_t(dpre_next, w["whh"][8], dt))
     dwhh[8] = _dot_tn(h8, dpre_next, dt)
     grads["wd_in"] = _dot_tn(d, dpre, dt)
-    dd = _dot_t(dpre, w["wd_in"], dt)
+    dd = _dot_t(dpre, w["wd_in"], dt) if input_grads else None
     dpre_next = dpre
     # L7 (density head joins at h7)
     g_h = _dot_t(dpre_next, w["whh"][7], dt) + _dot_t(g_dens, w["w_dens"], dt)
@@ -413,7 +414,7 @@ def _bwd_slice(x, d, g_dens, g_col, w, dt, chain=None):
     dpre, h4 = layer_bwd(4, _dot_t(dpre_next, w["whh"][4], dt))
     dwhh[4] = _dot_tn(h4, dpre_next, dt)
     grads["wx"] = _dot_tn(x, dpre, dt)
-    dx = _dot_t(dpre, w["wx"], dt)
+    dx = _dot_t(dpre, w["wx"], dt) if input_grads else None
     dpre_next = dpre
     # L3..L1
     for j in (3, 2, 1):
@@ -424,7 +425,8 @@ def _bwd_slice(x, d, g_dens, g_col, w, dt, chain=None):
     dpre, h0 = layer_bwd(0, _dot_t(dpre_next, w["whh"][0], dt))
     dwhh[0] = _dot_tn(h0, dpre_next, dt)
     grads["w0"] = _dot_tn(x, dpre, dt)
-    dx = dx + _dot_t(dpre, w["w0"], dt)
+    if input_grads:
+        dx = dx + _dot_t(dpre, w["w0"], dt)
     grads["whh"] = dwhh
     grads["b"] = db
     grads["g"] = dg

@@ -236,7 +236,11 @@ def _train_kernel(*refs, compute_dtype, num_samples, g_scale,
         loss_sum = loss_sum + sl_loss
 
         # ... so the backward sweep runs with NO forward recompute.
-        _, _, grads = _bwd_slice(x, d, g_dens, g_col, w, dt, chain=chain)
+        # input_grads=False: nothing upstream consumes dx/dd (grads flow
+        # only to params), so skip their three N-padded matmuls.
+        _, _, grads = _bwd_slice(
+            x, d, g_dens, g_col, w, dt, chain=chain, input_grads=False
+        )
         if acc is None:
             acc = grads
         else:
