@@ -286,7 +286,7 @@ def classic_train_grads_pallas(
     loss_weight: float = 1.0,
     return_weights: bool = False,
     interpret: bool | None = None,
-) -> Tuple[Array, Dict[str, Any]]:
+) -> Tuple[Array, ...]:
     """One fused evaluation of the coarse-only classic train objective.
 
     Args:
@@ -354,6 +354,10 @@ def classic_train_grads_pallas(
         jax.ShapeDtypeStruct(wshapes["b_col"], jnp.float32),
     ]
     if return_weights:
+        # [total, 1] is the 128x lane-padded shape this module's docstring
+        # warns about (~67 MB padded write at 2048x64) — one of the reasons
+        # the two-stage hierarchical trainer measures slower than the
+        # general reuse path; acceptable for the coarse stage only.
         out_shapes.append(jax.ShapeDtypeStruct((total, 1), jnp.float32))
     out_specs = [_full_spec(s.shape) for s in out_shapes[:12]]
     if return_weights:

@@ -270,6 +270,14 @@ def make_fused_multi_step_train_fn(
             "fused train step does not take latent conditioning"
         )
     hierarchical = render.num_fine_samples > 0
+    if hierarchical and render.reuse_coarse_in_fine:
+        raise ValueError(
+            "the fused hierarchical trainer implements the re-evaluate "
+            "formulation; pass RenderConfig(reuse_coarse_in_fine=False) "
+            "so its objective matches the general trainer's (the reuse "
+            "formulation backprops the fine loss through the reused "
+            "coarse evaluations — a different gradient)"
+        )
     dtype = jnp.dtype(cfg.compute_dtype)
 
     def stage_inputs(batch, t_vals, k_noise):

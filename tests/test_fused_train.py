@@ -203,8 +203,6 @@ class TestFusedMultiStep:
     def test_hierarchical_matches_general_reevaluate_losses(self, bank):
         # The fused hierarchical trainer implements the re-evaluate
         # (reuse_coarse_in_fine=False) formulation as two fused stages.
-        import dataclasses
-
         model = full_model()
         opt = optax.adam(1e-3)
         render = RenderConfig(num_coarse_samples=8, num_fine_samples=8,
