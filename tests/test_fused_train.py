@@ -265,3 +265,35 @@ class TestSegmentedLadders:
                                        err_msg=f"prefix S={s}")
             np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-5,
                                        err_msg=f"suffix S={s}")
+
+
+class TestFusedResumeExactness:
+    def test_k_fused_steps_equal_split_runs(self, bank):
+        # Per-step keys derive from fold_in(state.key, state.step), so
+        # 4+4 fused steps must be bit-identical to 8 (resume safety).
+        model = full_model()
+        opt = optax.adam(1e-3)
+        render = RenderConfig(num_coarse_samples=8, near=2.0, far=6.0,
+                              randomly_sample=True, density_noise_std=0.5)
+        run8 = make_fused_multi_step_train_fn(model, opt, render, bank,
+                                              32, 8)
+        s = create_train_state(model.init(jax.random.PRNGKey(0)), opt)
+        s, aux8 = run8(s)
+        losses8 = np.asarray(jax.device_get(aux8["loss"]))
+
+        run4 = make_fused_multi_step_train_fn(model, opt, render, bank,
+                                              32, 4)
+        s2 = create_train_state(model.init(jax.random.PRNGKey(0)), opt)
+        s2, aux_a = run4(s2)
+        s2, aux_b = run4(s2)
+        losses44 = np.concatenate([
+            np.asarray(jax.device_get(aux_a["loss"])),
+            np.asarray(jax.device_get(aux_b["loss"])),
+        ])
+        np.testing.assert_array_equal(losses44, losses8)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b))
+            ),
+            s2.params, s.params,
+        )

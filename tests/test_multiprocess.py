@@ -169,6 +169,59 @@ _WORKER_SP = textwrap.dedent(
 )
 
 
+_WORKER_TP = textwrap.dedent(
+    """
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    rank = int(sys.argv[1])
+    port = sys.argv[2]
+
+    from nerf_tpu.parallel import distributed
+    distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                           process_id=rank)
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from nerf_tpu import ClassicNeRF, ClassicNeRFConfig, RenderConfig
+    from nerf_tpu.parallel.tensor_parallel import make_tp_render_rays
+
+    # One device per process; the GLOBAL mesh shards the MLP hidden dim
+    # ACROSS the process boundary (each process holds half of every
+    # weight matrix; XLA's all-reduces run over the distributed backend).
+    mesh = Mesh(np.asarray(jax.devices()).reshape(1, 2), ("batch", "model"))
+    model = ClassicNeRF(ClassicNeRFConfig(
+        normalize_position=6.0, x_positional_encoding_size=8,
+        d_positional_encoding_size=4, hidden_size=16, trunk_blocks=(2, 2),
+        view_branch_depth=1, use_pallas=False))
+    params = model.init(jax.random.PRNGKey(0))
+    render = RenderConfig(num_coarse_samples=8, near=2.0, far=6.0,
+                          randomly_sample=False, density_noise_std=0.0)
+
+    rng = np.random.default_rng(0)  # same rays on every host
+    rays_o = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+    rays_d = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+
+    # jit in_shardings place the (host-replicated) params into the TP
+    # layout; XLA inserts the cross-process collectives.
+    tp_render = make_tp_render_rays(model, render, mesh)
+    rgb_tp = np.asarray(
+        jax.device_get(tp_render(params, rays_o, rays_d))
+    )
+
+    # Host-local single-device oracle.
+    rgb_local = np.asarray(model.render_rays(
+        params, None, rays_o, rays_d, render).rgb[..., -1, :])
+    ok = np.allclose(rgb_tp, rgb_local, rtol=1e-5, atol=1e-6)
+    print(f"RANK{rank} tp mean={rgb_tp.mean():.6f} match={ok}", flush=True)
+    assert ok
+    """
+)
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -229,6 +282,29 @@ class TestTwoProcessSampleParallel:
         assert "match_single=True" in lines[1]
         # Both processes observed the identical global loss sequence.
         assert lines[0].split(" ", 1)[1] == lines[1].split(" ", 1)[1]
+
+
+class TestTwoProcessTensorParallel:
+    def test_cross_process_hidden_dim_sharding_matches_local(self, tmp_path):
+        """Two processes, MLP hidden dim split ACROSS the process boundary
+        via GSPMD param shardings: rendering must equal the local oracle."""
+        port = _free_port()
+        worker = tmp_path / "worker_tp.py"
+        worker.write_text(_WORKER_TP)
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # one CPU device per process
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(r), str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            )
+            for r in range(2)
+        ]
+        for r, p in enumerate(procs):
+            out, _ = p.communicate(timeout=300)
+            text = out.decode()
+            assert p.returncode == 0, text[-2000:]
+            assert f"RANK{r} tp" in text and "match=True" in text
 
 
 class TestTwoProcessTraining:
