@@ -150,7 +150,9 @@ def main() -> None:
     )
     try:
         t_h = _retry(
-            lambda: bench_train_step(model, render_hier, 2048, k1=4, k2=16),
+            lambda: bench_train_step(
+                model, render_hier, 2048, k1=4, k2=16, fused=True
+            ),
             attempts=2,
         )
         log(f"train step, 2048 rays x (64+128) hierarchical: "

@@ -77,6 +77,31 @@ def weights_from_density(density: Array, dists: Array) -> Array:
     return (1.0 - alpha) * transmittance
 
 
+def unsorted_dists(t_vals: Array, rays_d: Array) -> Array:
+    """Per-sample interval lengths for samples in ARBITRARY order.
+
+    ``dist_i = (min over successors of t_i) - t_i`` scaled by ``||d||``,
+    with the ray's LAST sample (under the total order) padded to the
+    reference's ``1e10`` far interval (``model.py:462-464`` semantics).
+    "Successor" uses the same total order as ``weights_from_unsorted``:
+    ``t`` value with the array index as tie-break.  Depends only on the
+    sample positions — the fused hierarchical train path precomputes it
+    outside the kernel.
+
+    Shapes: ``t_vals [..., S]``, ``rays_d [..., 3]`` -> ``[..., S, 1]``.
+    """
+    t_i = t_vals[..., :, None]
+    t_j = t_vals[..., None, :]
+    idx = jnp.arange(t_vals.shape[-1])
+    ties = t_j == t_i
+    after = (t_j > t_i) | (ties & (idx[None, :] > idx[:, None]))
+    succ = jnp.min(jnp.where(after, t_j, jnp.inf), axis=-1)  # [..., S]
+    norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    return jnp.where(
+        jnp.isfinite(succ), (succ - t_vals) * norm, 1e10
+    )[..., None]
+
+
 def weights_from_unsorted(
     density: Array, t_vals: Array, rays_d: Array
 ) -> Array:
@@ -116,12 +141,7 @@ def weights_from_unsorted(
     idx_i = idx[:, None]
     idx_j = idx[None, :]
     ties = t_j == t_i
-    after = (t_j > t_i) | (ties & (idx_j > idx_i))
-    succ = jnp.min(jnp.where(after, t_j, jnp.inf), axis=-1)  # [..., S]
-    norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    dists = jnp.where(
-        jnp.isfinite(succ), (succ - t_vals) * norm, 1e10
-    )[..., None]
+    dists = unsorted_dists(t_vals, rays_d)
     alpha = jnp.exp(-jax.nn.relu(density) * dists)
     log_a = jnp.log(alpha[..., 0] + 1e-10)  # [..., S]
     before = (t_j < t_i) | (ties & (idx_j < idx_i))

@@ -1,0 +1,590 @@
+"""Fused fine stage for DISJOINT hierarchical training (the default
+``reuse_coarse_in_fine=True`` objective).
+
+The hierarchical (64+128) config is the north-star metric, and its fine
+stage dominates the step: 2/3 of the MLP points plus the O(S^2) union
+compositing.  Round 1 left it on the two-kernel custom-VJP path, which
+pays a full forward rematerialization in the backward kernel.  This module
+moves the whole fine-stage objective into ONE Pallas call:
+
+    fine encodings -> 10-layer MLP (chain VMEM-resident)
+                   -> density noise -> union compositing with the REUSED
+                      coarse outputs (order-free, no sort/gather)
+                   -> fine-stage MSE
+                   -> compositing backward -> MLP backward (NO recompute)
+
+The kernel returns the fine-point parameter gradients directly, plus the
+cotangents of the coarse-side quantities it consumed; the step builder
+routes those through the coarse custom-VJP (``fused_mlp``) so the reuse
+formulation's full gradient — fine loss back through the reused coarse
+evaluations — matches the general trainer exactly (parity-tested).
+
+Union-compositing layout (measured design, see ``fused_train`` for the
+ladder rationale):
+
+* Within-block transmittance prefixes and per-ray totals run as segmented
+  shift ladders along sublanes (coarse and fine t-sets are each sorted).
+* CROSS-block terms (fine log-alphas below each coarse sample, per-ray
+  sums transferred between the blocks) are masked MXU matmuls, with masks
+  built in-kernel from broadcast ``t`` comparisons + ray-id iotas.  The
+  mask operand is exact 0/1; the value operand uses a one-step Dekker
+  split (``_dot_exact``) because the MXU's DEFAULT precision truncates
+  f32 operands to bf16 — a ~2^-9 relative error that is benign for the
+  MLP's value-dominated matmuls but NOT for sums of log-transmittance
+  terms reaching ``log(1e-10) ~ -23``.
+* Everything coarse-side that does not depend on the fine MLP — union
+  interval lengths, coarse alphas, the coarse-before-fine partial
+  transmittances, the coarse in-block prefix — is precomputed in XLA
+  (``coarse_union_precompute``) and fed per-row; its backward is plain XLA
+  autodiff via ``jax.vjp`` around the precompute.
+
+Semantics mirror ``ClassicNeRF.render_rays``'s reuse branch
+(``models/nerf.py``): ``ops.compositing.weights_from_unsorted`` with the
+(t, index) total order, the 1e-10 epsilon inside the transmittance
+product, coarse noise carried into the union, sigmoid color, and the
+stage-mean MSE.  Reference behavior covered: the hierarchical contract at
+``/root/reference/nerf/model.py:191-193`` with compositing per
+``model.py:437-469``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from nerf_tpu.ops import compositing, cumulative
+from nerf_tpu.ops.pallas.fused_mlp import (
+    _PACK_ORDER,
+    _VMEM_LIMIT,
+    _bwd_slice,
+    _forward_chain,
+    _full_spec,
+    _interpret_default,
+    _tile_spec,
+    NUM_HH,
+    NUM_LAYERS,
+    pack_classic_params,
+)
+from nerf_tpu.ops.pallas.fused_train import (
+    _seg_exclusive_prefix,
+    _seg_exclusive_suffix,
+    _seg_total,
+    unpack_classic_grads,
+)
+
+Array = jax.Array
+
+# Fine rows per tile (the MLP runs on fine rows only); 1024 with two
+# independent slices is the swept optimum of the kernel family.
+TILE_F = 1024
+_SPLITS = 2
+
+_N_GAUX = 5  # [g_alpha_c, g_pref_own, g_sig_r, g_sig_g, g_sig_b]
+
+
+def coarse_union_precompute(
+    dens_c: Array, col_c: Array, t_coarse: Array, t_fine: Array,
+    dist_c: Array,
+) -> Tuple[Array, Array, Array, Array]:
+    """XLA precompute of the coarse-side union-compositing quantities.
+
+    Args:
+        dens_c: ``[B, Sc, 1]`` NOISED coarse densities (the reuse path
+            carries the coarse stage's noise into the union —
+            ``models/nerf.py`` reuse branch).
+        col_c: ``[B, Sc, C]`` coarse color logits.
+        t_coarse / t_fine: ``[B, Sc]`` / ``[B, Sf]`` — both must be sorted
+            along the sample axis (stratified + inverse-CDF samplers emit
+            sorted), so index order realizes the (t, index) total order.
+        dist_c: ``[B, Sc]`` UNION interval lengths for the coarse slots
+            (``compositing.unsorted_dists`` on the concatenated t-set).
+
+    Returns ``(alpha_c, pref_own, cross_c, sig_c)``:
+        alpha_c ``[B, Sc]`` union-interval alphas;
+        pref_own ``[B, Sc]`` exclusive prefix of ``log(alpha_c + 1e-10)``
+            within the coarse block;
+        cross_c ``[B, Sf]`` sum of coarse log-alphas BEFORE each fine
+            sample (ties count the coarse sample first, matching
+            ``weights_from_unsorted``'s index tie-break — coarse indices
+            precede fine indices in the concatenated order);
+        sig_c ``[B, Sc, C]`` sigmoid colors.
+
+    Differentiable in (dens_c, col_c); the caller wraps it in ``jax.vjp``
+    and feeds the kernel's output cotangents back through it.
+    """
+    alpha_c = jnp.exp(-jax.nn.relu(dens_c[..., 0]) * dist_c)  # [B, Sc]
+    log_a_c = jnp.log(alpha_c + 1e-10)
+    csum = cumulative.cumsum(log_a_c, axis=-1)
+    pref_own = jnp.concatenate(
+        [jnp.zeros_like(csum[..., :1]), csum[..., :-1]], axis=-1
+    )
+    before = t_coarse[..., None, :] <= t_fine[..., :, None]  # [B, Sf, Sc]
+    cross_c = jnp.sum(
+        jnp.where(before, log_a_c[..., None, :], 0.0), axis=-1
+    )
+    return alpha_c, pref_own, cross_c, jax.nn.sigmoid(col_c)
+
+
+def _dot_exact(mask: Array, values: Array) -> Array:
+    """``mask @ values`` with near-f32-exact accumulation on the MXU.
+
+    The MXU's DEFAULT precision truncates f32 operands to bf16.  The mask
+    side is 0/1 (exact in bf16); the value side is split one Dekker step
+    (``hi`` = bf16 round-trip, ``lo`` = residual), bounding the relative
+    error at ~2^-18 — required for sums of log-transmittance terms where
+    2^-9 noise would perturb weights by whole percents.
+    """
+    hi = values.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = values - hi
+    return jnp.dot(mask, hi, preferred_element_type=jnp.float32) + jnp.dot(
+        mask, lo, preferred_element_type=jnp.float32
+    )
+
+
+def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
+                 white_background, splits):
+    (xf_ref, df_ref, auxf_ref, auxc_ref, tfrow_ref, tcrow_ref) = refs[0:6]
+    w = dict(zip(_PACK_ORDER, refs[6 : 6 + len(_PACK_ORDER)]))
+    outs = refs[6 + len(_PACK_ORDER) :]
+    (loss_ref, dw0_ref, dwx_ref, dwdin_ref, dwhh_ref, db_ref, dg_ref,
+     dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref,
+     gauxc_ref, gcrossc_ref) = outs
+    flat_refs = {
+        "w0": dw0_ref, "wx": dwx_ref, "wd_in": dwdin_ref,
+        "w_dens": dwdens_ref, "b_dens": dbdens_ref,
+        "w_col": dwcol_ref, "b_col": dbcol_ref,
+    }
+    w = {k: v[:] for k, v in w.items()}
+    dt = compute_dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        loss_ref[...] = jnp.zeros_like(loss_ref)
+        for ref in (dw0_ref, dwx_ref, dwdin_ref, dwhh_ref, db_ref, dg_ref,
+                    dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    tile_f = xf_ref.shape[0]
+    rows_f = tile_f // splits
+    rays_sl = rows_f // s_fine
+    rows_c = rays_sl * s_coarse
+    pos_f = jax.lax.broadcasted_iota(jnp.int32, (rows_f, 1), 0) % s_fine
+    pos_c = jax.lax.broadcasted_iota(jnp.int32, (rows_c, 1), 0) % s_coarse
+    # Ray-id block masks for the cross-block reductions, in both
+    # orientations ([coarse rows, fine rows] and the transpose).
+    ray_c0 = jax.lax.broadcasted_iota(jnp.int32, (rows_c, rows_f), 0)
+    ray_f1 = jax.lax.broadcasted_iota(jnp.int32, (rows_c, rows_f), 1)
+    same_cf = (ray_c0 // s_coarse) == (ray_f1 // s_fine)
+    ray_f0 = jax.lax.broadcasted_iota(jnp.int32, (rows_f, rows_c), 0)
+    ray_c1 = jax.lax.broadcasted_iota(jnp.int32, (rows_f, rows_c), 1)
+    same_fc = (ray_f0 // s_fine) == (ray_c1 // s_coarse)
+
+    acc = None
+    loss_sum = jnp.zeros((1, 1), jnp.float32)
+    off = 1.0 if white_background else 0.0
+    for s in range(splits):
+        fsl = slice(s * rows_f, (s + 1) * rows_f)
+        csl = slice(s * rows_c, (s + 1) * rows_c)
+        x, d = xf_ref[fsl, :], df_ref[fsl, :]
+        auxf = auxf_ref[fsl, :]
+        auxc = auxc_ref[csl, :]
+        t_f = auxf[:, 0:1]
+        dist_f = auxf[:, 1:2]
+        noise = auxf[:, 2:3]
+        cross_c = auxf[:, 3:4]
+        pix_f = auxf[:, 4 : 4 + cols]
+        t_c = auxc[:, 0:1]
+        alpha_c = auxc[:, 1:2]
+        pref_c = auxc[:, 2:3]
+        sig_c = auxc[:, 3 : 3 + cols]
+        pix_c = auxc[:, 3 + cols : 3 + 2 * cols]
+        t_f_row = tfrow_ref[:, fsl]  # [1, rows_f]
+        t_c_row = tcrow_ref[:, csl]  # [1, rows_c]
+
+        # ---- fine forward (chain kept VMEM-resident) ----
+        chain, dens_raw, col = _forward_chain(x, d, w, dt, keep=True)
+        dens = dens_raw + noise
+        alpha_f = jnp.exp(-jnp.maximum(dens, 0.0) * dist_f)
+        a_eps = alpha_f + 1e-10
+        log_af = jnp.log(a_eps)
+        pref_f = _seg_exclusive_prefix(log_af, pos_f, s_fine)
+        t_fine_full = jnp.exp(cross_c + pref_f)
+        w_f = (1.0 - alpha_f) * t_fine_full
+        sig_f = jax.nn.sigmoid(col)
+
+        # ---- union compositing with the reused coarse block ----
+        # Fine-before-coarse is STRICT t comparison (fine indices follow
+        # coarse indices, so a tie is NOT "before" — weights_from_unsorted
+        # total order).
+        m_cf = (same_cf & (t_f_row < t_c)).astype(jnp.float32)
+        cross_f = _dot_exact(m_cf, log_af)  # [rows_c, 1]
+        t_coarse_full = jnp.exp(pref_c + cross_f)
+        w_c = (1.0 - alpha_c) * t_coarse_full
+
+        fine_vals = jnp.concatenate([w_f * sig_f, w_f], axis=-1)
+        fine_on_c = _dot_exact(same_cf.astype(jnp.float32), fine_vals)
+        coarse_vals = jnp.concatenate([w_c * sig_c, w_c], axis=-1)
+        coarse_on_f = _dot_exact(same_fc.astype(jnp.float32), coarse_vals)
+
+        rgb_c = _seg_total(w_c * sig_c, pos_c, s_coarse) + fine_on_c[:, :cols]
+        rgb_f = _seg_total(w_f * sig_f, pos_f, s_fine) + coarse_on_f[:, :cols]
+        if white_background:
+            acc_c = (
+                _seg_total(w_c, pos_c, s_coarse)
+                + fine_on_c[:, cols : cols + 1]
+            )
+            acc_f = (
+                _seg_total(w_f, pos_f, s_fine)
+                + coarse_on_f[:, cols : cols + 1]
+            )
+            rgb_c = rgb_c + (1.0 - acc_c)
+            rgb_f = rgb_f + (1.0 - acc_f)
+        err_c = rgb_c - pix_c
+        err_f = rgb_f - pix_f
+        loss_sum = loss_sum + (
+            jnp.sum(
+                jnp.mean(err_f * err_f, axis=-1, keepdims=True), keepdims=True
+            )
+            / s_fine
+        )
+
+        # ---- backward ----
+        g_rgb_f = err_f * g_scale
+        g_rgb_c = err_c * g_scale
+        g_col = w_f * sig_f * (1.0 - sig_f) * g_rgb_f
+        g_wf = jnp.sum((sig_f - off) * g_rgb_f, axis=-1, keepdims=True)
+        g_sigc = w_c * g_rgb_c  # [rows_c, C]
+        g_wc = jnp.sum((sig_c - off) * g_rgb_c, axis=-1, keepdims=True)
+        g_alpha_c = -t_coarse_full * g_wc
+        g_logt_c = (1.0 - alpha_c) * t_coarse_full * g_wc
+        # cross_f's cotangent scatters back to every fine log-alpha below
+        # the coarse sample: the transposed t-mask.
+        m_fc = (same_fc & (t_f < t_c_row)).astype(jnp.float32)
+        g_laf = _dot_exact(m_fc, g_logt_c)
+        g_alpha_f = -t_fine_full * g_wf
+        g_logt_f = (1.0 - alpha_f) * t_fine_full * g_wf
+        g_laf = g_laf + _seg_exclusive_suffix(g_logt_f, pos_f, s_fine)
+        g_alpha_f = g_alpha_f + g_laf / a_eps
+        g_dens = g_alpha_f * (-dist_f * alpha_f) * (dens > 0.0).astype(
+            jnp.float32
+        )
+
+        gauxc_ref[csl, :] = jnp.concatenate(
+            [g_alpha_c, g_logt_c, g_sigc], axis=-1
+        )
+        gcrossc_ref[fsl, :] = g_logt_f
+
+        # MLP backward with NO forward recompute; grads flow only to
+        # params (the fine encodings carry no parameter dependence).
+        _, _, grads = _bwd_slice(
+            x, d, g_dens, g_col, w, dt, chain=chain, input_grads=False
+        )
+        if acc is None:
+            acc = grads
+        else:
+            acc = jax.tree.map(jnp.add, acc, grads)
+
+    loss_ref[...] += loss_sum
+    for name, ref in flat_refs.items():
+        ref[...] += acc[name]
+    for i in range(NUM_LAYERS):
+        db_ref[i, :] += acc["b"][i]
+        dg_ref[i, :] += acc["g"][i]
+        dbeta_ref[i, :] += acc["beta"][i]
+    for j in range(NUM_HH):
+        dwhh_ref[j, :, :] += acc["whh"][j]
+
+
+def _pick_tiling(n_rays: int, s_fine: int, interpret: bool) -> Tuple[int, int]:
+    """Rays per tile + slice count: whole rays per slice, 128-lane-aligned
+    slice boundaries on hardware (the t-row inputs are lane-sliced)."""
+    r = min(n_rays, max(1, TILE_F // max(s_fine, 1)))
+    while r > 1 and n_rays % r:
+        r -= 1
+    splits = _SPLITS
+    while splits > 1:
+        rays_sl, rem = divmod(r, splits)
+        aligned = interpret or (rays_sl * s_fine) % 128 == 0
+        if rem == 0 and aligned:
+            break
+        splits -= 1
+    return r, splits
+
+
+def fine_stage_train_pallas(
+    params: Dict[str, Any],
+    x_enc: Array,
+    d_enc: Array,
+    t_coarse: Array,
+    t_fine: Array,
+    dist_f: Array,
+    noise_f: Array,
+    alpha_c: Array,
+    pref_own: Array,
+    cross_c: Array,
+    sig_c: Array,
+    pixels: Array,
+    compute_dtype=jnp.float32,
+    white_background: bool = False,
+    loss_weight: float = 1.0,
+    interpret: bool | None = None,
+) -> Tuple[Array, Dict[str, Any], Tuple[Array, Array, Array, Array]]:
+    """One fused evaluation of the disjoint-stage fine objective.
+
+    Args:
+        params: ClassicNeRF pytree.
+        x_enc / d_enc: ``[B, Sf, XE] / [B, Sf, DE]`` FINE-point encodings.
+        t_coarse / t_fine: sorted t-sets ``[B, Sc] / [B, Sf]``.
+        dist_f: ``[B, Sf]`` union interval lengths for the fine slots
+            (``compositing.unsorted_dists`` tail).
+        noise_f: ``[B, Sf]`` pre-drawn density noise (zeros if noiseless).
+        alpha_c, pref_own, cross_c, sig_c: ``coarse_union_precompute``
+            outputs.
+        pixels: ``[B, C]`` targets.
+        loss_weight: stage weight (0.5 under the stage-mean MSE).
+
+    Returns ``(loss, grads, (g_alpha_c, g_pref_own, g_cross_c, g_sig_c))``
+    — the weighted fine-stage loss, fine-point parameter gradients, and
+    the cotangents to feed back through ``coarse_union_precompute``'s vjp.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n_rays, s_fine = t_fine.shape[0], t_fine.shape[-1]
+    s_coarse = t_coarse.shape[-1]
+    cols = pixels.shape[-1]
+    xe, de = x_enc.shape[-1], d_enc.shape[-1]
+    total_f = n_rays * s_fine
+    total_c = n_rays * s_coarse
+    r, splits = _pick_tiling(n_rays, s_fine, interpret)
+    grid = n_rays // r
+    tile_f, tile_c = r * s_fine, r * s_coarse
+
+    x2 = x_enc.reshape(total_f, xe).astype(compute_dtype)
+    d2 = d_enc.reshape(total_f, de).astype(compute_dtype)
+    pix_f = jnp.broadcast_to(pixels[:, None, :], (n_rays, s_fine, cols))
+    pix_c = jnp.broadcast_to(pixels[:, None, :], (n_rays, s_coarse, cols))
+    aux_f = jnp.concatenate(
+        [
+            t_fine[..., None],
+            dist_f[..., None],
+            noise_f[..., None],
+            cross_c[..., None],
+            pix_f,
+        ],
+        axis=-1,
+    ).reshape(total_f, 4 + cols)
+    aux_c = jnp.concatenate(
+        [
+            t_coarse[..., None],
+            alpha_c[..., None],
+            pref_own[..., None],
+            sig_c,
+            pix_c,
+        ],
+        axis=-1,
+    ).reshape(total_c, 3 + 2 * cols)
+    tf_row = t_fine.reshape(1, total_f)
+    tc_row = t_coarse.reshape(1, total_c)
+
+    packed = pack_classic_params(params)
+    weights = [packed[k] for k in _PACK_ORDER]
+    wshapes = {k: packed[k].shape for k in _PACK_ORDER}
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),  # loss accumulator
+        jax.ShapeDtypeStruct(wshapes["w0"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["wx"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["wd_in"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["whh"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["b"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["g"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["beta"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["w_dens"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["b_dens"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["w_col"], jnp.float32),
+        jax.ShapeDtypeStruct(wshapes["b_col"], jnp.float32),
+        jax.ShapeDtypeStruct((total_c, _N_GAUX), jnp.float32),
+        jax.ShapeDtypeStruct((total_f, 1), jnp.float32),
+    ]
+    out_specs = [_full_spec(s.shape) for s in out_shapes[:12]] + [
+        _tile_spec(tile_c, _N_GAUX),
+        _tile_spec(tile_f, 1),
+    ]
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _hier_kernel,
+            compute_dtype=compute_dtype,
+            s_coarse=s_coarse,
+            s_fine=s_fine,
+            cols=cols,
+            g_scale=loss_weight * 2.0 / (cols * n_rays),
+            white_background=white_background,
+            splits=splits,
+        ),
+        out_shape=out_shapes,
+        grid=(grid,),
+        in_specs=[
+            _tile_spec(tile_f, xe),
+            _tile_spec(tile_f, de),
+            _tile_spec(tile_f, 4 + cols),
+            _tile_spec(tile_c, 3 + 2 * cols),
+            pl.BlockSpec((1, tile_f), lambda i: (0, i)),
+            pl.BlockSpec((1, tile_c), lambda i: (0, i)),
+            *[_full_spec(wt.shape) for wt in weights],
+        ],
+        out_specs=out_specs,
+        interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
+    )(x2, d2, aux_f, aux_c, tf_row, tc_row, *weights)
+
+    loss = loss_weight * outs[0][0, 0] / n_rays
+    grads = unpack_classic_grads(dict(zip(_PACK_ORDER, outs[1:12])), params)
+    gaux = outs[12]
+    g_alpha_c = gaux[:, 0].reshape(n_rays, s_coarse)
+    g_pref = gaux[:, 1].reshape(n_rays, s_coarse)
+    g_sig = gaux[:, 2 : 2 + cols].reshape(n_rays, s_coarse, cols)
+    g_cross = outs[13].reshape(n_rays, s_fine)
+    return loss, grads, (g_alpha_c, g_pref, g_cross, g_sig)
+
+
+def reuse_train_loss_and_grads(
+    model,
+    params: Dict[str, Any],
+    render,
+    batch: Dict[str, Array],
+    key: jax.Array,
+) -> Tuple[Array, Dict[str, Any], Dict[str, Array]]:
+    """Loss + parameter gradients for ONE hierarchical reuse-formulation
+    step, with every MLP evaluation fused:
+
+    * coarse stage through the custom-VJP kernels (``classic_mlp_pallas``),
+      its compositing/loss and the inverse-CDF resample in cheap XLA;
+    * fine stage through the single fused kernel above;
+    * coarse cotangents (coarse-stage loss + fine-stage union terms)
+      summed and pushed through ONE coarse backward kernel.
+
+    PRNG semantics mirror ``ClassicNeRF.render_rays`` exactly (same key
+    split, same noise draws up to counter-layout), so loss/grads match the
+    general trainer to float tolerance.  Returns ``(loss, grads, aux)``.
+    """
+    from nerf_tpu.ops import sampling
+    from nerf_tpu.ops.pallas import fused_mlp
+
+    cfg = model.cfg
+    dtype = jnp.dtype(cfg.compute_dtype)
+    rays_o, rays_d = batch["rays_o"], batch["rays_d"]
+    pixels = batch["pixels"]
+    n_rays = rays_o.shape[0]
+    sc, sf = render.num_coarse_samples, render.num_fine_samples
+    std = render.density_noise_std
+    bg = 1.0 if render.white_background else None
+    stage_w = 0.5  # stage-mean MSE over (coarse, fine)
+
+    k_strat, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
+    t_coarse = sampling.sample_linear(
+        k_strat, (n_rays,), sc, render.near, render.far,
+        randomly_sample=render.randomly_sample, dtype=rays_o.dtype,
+    )
+
+    def encode(t_vals, flat):
+        points = (
+            rays_o[:, None, :] + rays_d[:, None, :] * t_vals[..., None]
+        )
+        dirs = jnp.broadcast_to(rays_d[:, None, :], points.shape)
+        if flat:
+            # Flat layout writes the fused kernel's row-major layout
+            # directly (no grads flow through fine encodings).
+            s = t_vals.shape[-1]
+            x_e = model.encode_position(points.reshape(-1, 3)).reshape(
+                n_rays, s, -1
+            )
+            d_e = model.encode_direction(dirs.reshape(-1, 3)).reshape(
+                n_rays, s, -1
+            )
+            return x_e, d_e
+        return model.encode_position(points), model.encode_direction(dirs)
+
+    # -- coarse stage: custom-VJP MLP + XLA compositing/loss --------------
+    xc_enc, dc_enc = encode(t_coarse, flat=False)
+    (dens_c_raw, col_c), vjp_c = jax.vjp(
+        lambda p: fused_mlp.classic_mlp_pallas(
+            p, xc_enc, dc_enc, compute_dtype=dtype
+        ),
+        params,
+    )
+    if std > 0.0:
+        noise_c = std * jax.random.normal(k_noise_c, (n_rays, sc))
+        dens_c = dens_c_raw + noise_c[..., None]
+    else:
+        dens_c = dens_c_raw
+    dists_stage = compositing.distances_from_tvals(t_coarse, rays_d)
+
+    def coarse_loss_fn(dc, cc):
+        wts = compositing.weights_from_density(dc, dists_stage)
+        rgb = compositing.composite_rgb_with_background(wts, cc, bg)
+        err = rgb - pixels
+        return stage_w * jnp.mean(err * err)
+
+    loss_c, vjp_cl = jax.vjp(coarse_loss_fn, dens_c, col_c)
+    g_dens_c, g_col_c = vjp_cl(jnp.ones((), loss_c.dtype))
+
+    # -- inverse-CDF fine sampling (stop-gradient weights) ----------------
+    weights_c = compositing.weights_from_density(dens_c, dists_stage)
+    t_mids = 0.5 * (t_coarse[..., 1:] + t_coarse[..., :-1])
+    t_fine = sampling.sample_pdf(
+        k_pdf,
+        t_mids,
+        jax.lax.stop_gradient(weights_c[..., 1:-1, 0]),
+        sf,
+        randomly_sample=render.randomly_sample,
+    )
+
+    # -- union precompute + fused fine stage ------------------------------
+    dists_u = compositing.unsorted_dists(
+        jnp.concatenate([t_coarse, t_fine], axis=-1), rays_d
+    )
+    dist_c_u = dists_u[..., :sc, 0]
+    dist_f_u = dists_u[..., sc:, 0]
+    pre, vjp_pre = jax.vjp(
+        lambda dc, cc: coarse_union_precompute(
+            dc, cc, t_coarse, t_fine, dist_c_u
+        ),
+        dens_c,
+        col_c,
+    )
+    xf_enc, df_enc = encode(t_fine, flat=True)
+    if std > 0.0:
+        noise_f = std * jax.random.normal(k_noise_f, (n_rays, sf))
+    else:
+        noise_f = jnp.zeros((n_rays, sf), rays_o.dtype)
+    loss_f, grads_f, g_pre = fine_stage_train_pallas(
+        params,
+        xf_enc,
+        df_enc,
+        t_coarse,
+        t_fine,
+        dist_f_u,
+        noise_f,
+        *pre,
+        pixels,
+        compute_dtype=dtype,
+        white_background=render.white_background,
+        loss_weight=stage_w,
+    )
+
+    # -- one coarse backward with the SUMMED cotangents -------------------
+    g_dens_c2, g_col_c2 = vjp_pre(g_pre)
+    (grads_c,) = vjp_c((g_dens_c + g_dens_c2, g_col_c + g_col_c2))
+    grads = jax.tree.map(jnp.add, grads_f, grads_c)
+    loss = loss_c + loss_f
+    aux = {
+        "loss": loss,
+        "rgb_loss": loss,
+        "fine_mse": loss_f / stage_w,
+    }
+    return loss, grads, aux

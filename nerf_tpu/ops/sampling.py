@@ -157,7 +157,11 @@ def sample_pdf(
     # the eps mass, and u < 1 = cdf[-1]).  The four interpolation operands
     # are then mask-contractions — elementwise multiply + reduce, no gather.
     lo = cdf[..., None, :-1]  # [..., 1, B]
-    hi = cdf[..., None, 1:]
+    # The doubling-ladder cumsum builds adjacent prefixes with different
+    # association trees, so cdf can invert by ~1 ulp; a u landing in such
+    # an inverted gap would match TWO half-open intervals and sum two
+    # bins.  Clamping hi to lo restores monotone, disjoint intervals.
+    hi = jnp.maximum(cdf[..., None, 1:], lo)
     sel = ((u[..., :, None] >= lo) & (u[..., :, None] < hi)).astype(bins.dtype)
     cdf_below = jnp.sum(sel * lo, axis=-1)
     cdf_above = jnp.sum(sel * hi, axis=-1)

@@ -181,6 +181,92 @@ def make_parallel_sampling_train_step(
     )
 
 
+def make_parallel_multi_step_train_fn(
+    model,
+    optimizer: optax.GradientTransformation,
+    render: RenderConfig,
+    bank,
+    batch_size: int,
+    mesh: Mesh,
+    num_steps: int,
+    segmentation_loss_weight: float = 0.0,
+    fused: bool = False,
+) -> Callable[[TrainState], Tuple[TrainState, Dict]]:
+    """K fused SPMD steps per dispatch: ``lax.scan`` over the sharded
+    sampling step, state donated.
+
+    The multi-chip counterpart of ``make_multi_step_train_fn`` /
+    ``make_fused_multi_step_train_fn``: one device program runs K steps of
+    on-device batch gather (sharded over the ``batch`` axis), per-shard
+    loss/gradients, the ICI gradient ``pmean`` and the replicated Adam
+    update — one dispatch, one fetch, no host round-trips in between.
+
+    ``fused=True`` computes each shard's gradients through the fully-fused
+    Pallas train path (``train.loop.make_fused_loss_and_grads``) instead of
+    autodiff over ``render_rays``; per-shard PRNG folding matches the
+    general sharded step, and each device evaluates ONLY its ray shard
+    (``shard_map``, not the automatic partitioner — see
+    ``_make_sharded_vag``).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from jax import shard_map
+
+    axis = mesh.axis_names[0]
+    if fused:
+        from nerf_tpu.train.loop import make_fused_loss_and_grads
+
+        loss_and_grads = make_fused_loss_and_grads(model, render)
+
+        def local_value_and_grad(params, key, batch):
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            _, grads, aux = loss_and_grads(params, key, batch)
+            return jax.lax.pmean(grads, axis), jax.lax.pmean(aux, axis)
+
+        sharded_vag = shard_map(
+            local_value_and_grad,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    else:
+        sharded_vag = _make_sharded_vag(
+            model, render, mesh, segmentation_loss_weight
+        )
+    data = batch_sharding(mesh)
+
+    def one_step(state: TrainState, _):
+        key = fold_key(state)
+        batch = bank.sample_batch(
+            jax.random.fold_in(key, 0x5A17), batch_size
+        )
+        batch = jax.lax.with_sharding_constraint(
+            batch, {k: data for k in batch}
+        )
+        grads, aux = sharded_vag(state.params, key, batch)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(state.step + 1, params, opt_state, state.key),
+            aux,
+        )
+
+    def run(state: TrainState):
+        return jax.lax.scan(one_step, state, None, length=num_steps)
+
+    repl = replicated_sharding(mesh)
+    state_sh = jax.tree_util.tree_map(lambda _: repl, _state_shape_token())
+    return jax.jit(
+        run,
+        in_shardings=(state_sh,),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )
+
+
 def _state_shape_token():
     """A TrainState-shaped token tree for sharding specification.
 

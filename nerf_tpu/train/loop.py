@@ -221,68 +221,73 @@ def evaluate(
     return image, value
 
 
-def make_fused_multi_step_train_fn(
-    model,
-    optimizer: optax.GradientTransformation,
-    render: RenderConfig,
-    bank: RayBank,
-    batch_size: int,
-    num_steps: int,
-) -> Callable[[TrainState], Tuple[TrainState, Dict]]:
-    """K-step trainer on the fully-fused train kernel (fastest path).
-
-    Like ``make_multi_step_train_fn`` but each stage's forward +
-    compositing + MSE + backward runs inside ONE Pallas call
-    (``ops/pallas/fused_train.py``) — no forward rematerialization in the
-    backward, no kernel-boundary HBM round-trips for density/color.  PRNG
-    semantics mirror ``render_rays``' key split, so losses track the
-    two-kernel path to float tolerance.
-
-    Hierarchical configs run TWO fused stages — a coarse stage that also
-    emits the compositing weights for the inverse-CDF resampler, then a
-    fine stage over the merged (re-evaluated) sample set, stage losses
-    averaged — i.e. the ``reuse_coarse_in_fine=False`` (NeRF-paper)
-    formulation.  MEASURED on v5e at 2048 rays x (64+128): 18.0 ms/step vs
-    the general reuse trainer's 16.7 — the matmul units are equal (64·3 +
-    192·3 fused vs 64·4 + 128·4 reuse) but the fused stages re-encode 256
-    points/ray instead of 192 and run a sub-optimal 768-row tile at S=192.
-    Use this builder for coarse-only configs (where it IS the fastest
-    path, 471k vs 378k rays/s) and ``make_multi_step_train_fn`` for
-    hierarchical ones; the hierarchical support here covers the
-    re-evaluate formulation end to end (parity-tested).
-
-    Latent-conditioned training uses the general path.
-    """
+def supports_fused_train(model, render: RenderConfig, bank=None) -> bool:
+    """True when the fully-fused train path covers this configuration
+    (the reference architecture family, no latent conditioning)."""
     from nerf_tpu.config import ClassicNeRFConfig
-    from nerf_tpu.ops import compositing, sampling
-    from nerf_tpu.ops.pallas import fused_mlp, fused_train
+    from nerf_tpu.ops.pallas import fused_mlp
 
-    cfg = model.cfg
+    cfg = getattr(model, "cfg", None)
     if not isinstance(cfg, ClassicNeRFConfig):
-        raise ValueError("fused train step covers ClassicNeRF only")
+        return False
     if not fused_mlp.supports_classic_config(cfg):
+        return False
+    if bank is not None and (
+        bank.states_x is not None or bank.states_d is not None
+    ):
+        return False
+    return True
+
+
+def make_fused_loss_and_grads(
+    model, render: RenderConfig
+) -> Callable[[Any, jax.Array, Dict[str, Array]], Tuple[Array, Any, Dict]]:
+    """Build ``fn(params, key, batch) -> (loss, grads, aux)`` with every
+    MLP evaluation fused (the fastest path for the classic family).
+
+    Dispatches on the render config:
+
+    * coarse-only: forward + compositing + MSE + backward in ONE Pallas
+      call (``ops/pallas/fused_train.py``) — no forward rematerialization,
+      gradients returned by the kernel directly;
+    * hierarchical ``reuse_coarse_in_fine=True`` (the default, and the
+      north-star config): fine stage fused the same way including the
+      order-free union compositing (``ops/pallas/fused_hier.py``), coarse
+      stage through the custom-VJP kernels with both stages' cotangents
+      summed into one coarse backward;
+    * hierarchical ``reuse_coarse_in_fine=False`` (NeRF-paper
+      re-evaluate): two fused ``fused_train`` stages over Sc then Sc+Sf
+      points.
+
+    PRNG semantics mirror ``render_rays``' key split, so losses track the
+    general path to float tolerance.  Grads flow only to params (sample
+    positions carry no parameter dependence in training).
+    """
+    from nerf_tpu.ops import compositing, sampling
+    from nerf_tpu.ops.pallas import fused_hier, fused_train
+
+    if not supports_fused_train(model, render):
         raise ValueError(
-            "fused train step requires the reference architecture family "
-            "(trunk_blocks=(4,4), view_branch_depth=2, use_viewdirs)"
+            "fused train path requires the reference architecture family "
+            "(ClassicNeRF, trunk_blocks=(4,4), view_branch_depth=2, "
+            "use_viewdirs); latent conditioning is not supported"
         )
-    if bank.states_x is not None or bank.states_d is not None:
-        raise ValueError(
-            "fused train step does not take latent conditioning"
-        )
+    cfg = model.cfg
     hierarchical = render.num_fine_samples > 0
-    if hierarchical and render.reuse_coarse_in_fine:
-        raise ValueError(
-            "the fused hierarchical trainer implements the re-evaluate "
-            "formulation; pass RenderConfig(reuse_coarse_in_fine=False) "
-            "so its objective matches the general trainer's (the reuse "
-            "formulation backprops the fine loss through the reused "
-            "coarse evaluations — a different gradient)"
-        )
+    use_reuse = hierarchical and render.reuse_coarse_in_fine
     dtype = jnp.dtype(cfg.compute_dtype)
+
+    if use_reuse:
+        def reuse_fn(params, key, batch):
+            return fused_hier.reuse_train_loss_and_grads(
+                model, params, render, batch, key
+            )
+
+        return reuse_fn
 
     def stage_inputs(batch, t_vals, k_noise):
         """Encodings + packed scalars for one fused stage over ``t_vals``."""
-        s = t_vals.shape[-1]
+        n_rays, s = t_vals.shape[0], t_vals.shape[-1]
         dists = compositing.distances_from_tvals(t_vals, batch["rays_d"])
         points = (
             batch["rays_o"][:, None, :]
@@ -294,32 +299,29 @@ def make_fused_multi_step_train_fn(
         # layout directly (measured ~+1% vs encoding in [B, S, .]).
         dirs = jnp.broadcast_to(batch["rays_d"][:, None, :], points.shape)
         x_enc = model.encode_position(points.reshape(-1, 3)).reshape(
-            batch_size, s, -1
+            n_rays, s, -1
         )
         d_enc = model.encode_direction(dirs.reshape(-1, 3)).reshape(
-            batch_size, s, -1
+            n_rays, s, -1
         )
         if render.density_noise_std > 0.0 and k_noise is not None:
             # Dense [B, S] draw: same values as render_rays' [B, S, 1]
             # (counter-based PRNG), but the [N, 1] shape runs threefry in
             # 128x lane-padded registers (~1 ms/step measured on v5e).
             noise = render.density_noise_std * jax.random.normal(
-                k_noise, (batch_size, s)
+                k_noise, (n_rays, s)
             )
         else:
-            noise = jnp.zeros((batch_size, s))
+            noise = jnp.zeros((n_rays, s))
         return x_enc, d_enc, dists, noise
 
-    def one_step(state: TrainState, _):
-        key = fold_key(state)
-        batch = bank.sample_batch(
-            jax.random.fold_in(key, 0x5A17), batch_size
-        )
+    def fn(params, key, batch):
+        n_rays = batch["rays_o"].shape[0]
         # Mirror render_rays' split (k_strat, k_noise_c, k_pdf, k_noise_f).
         k_strat, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
         t_coarse = sampling.sample_linear(
             k_strat,
-            (batch_size,),
+            (n_rays,),
             render.num_coarse_samples,
             render.near,
             render.far,
@@ -329,7 +331,7 @@ def make_fused_multi_step_train_fn(
         stage_w = 0.5 if hierarchical else 1.0
         x_enc, d_enc, dists, noise = stage_inputs(batch, t_coarse, k_noise_c)
         coarse = fused_train.classic_train_grads_pallas(
-            state.params,
+            params,
             x_enc,
             d_enc,
             dists,
@@ -357,7 +359,7 @@ def make_fused_multi_step_train_fn(
                 batch, t_all, k_noise_f
             )
             loss_f, grads_f = fused_train.classic_train_grads_pallas(
-                state.params,
+                params,
                 x_enc,
                 d_enc,
                 dists,
@@ -374,11 +376,44 @@ def make_fused_multi_step_train_fn(
         else:
             loss, grads = coarse
             fine_mse = loss
+        aux = {"loss": loss, "rgb_loss": loss, "fine_mse": fine_mse}
+        return loss, grads, aux
+
+    return fn
+
+
+def make_fused_multi_step_train_fn(
+    model,
+    optimizer: optax.GradientTransformation,
+    render: RenderConfig,
+    bank: RayBank,
+    batch_size: int,
+    num_steps: int,
+) -> Callable[[TrainState], Tuple[TrainState, Dict]]:
+    """K-step trainer on the fully-fused train kernels (fastest path).
+
+    Like ``make_multi_step_train_fn`` but the per-step loss/gradient comes
+    from ``make_fused_loss_and_grads`` (see its docstring for the three
+    fused formulations) — no forward rematerialization in the fused
+    stages, no kernel-boundary HBM round-trips for density/color.
+    Latent-conditioned training uses the general path.
+    """
+    loss_and_grads = make_fused_loss_and_grads(model, render)
+    if bank.states_x is not None or bank.states_d is not None:
+        raise ValueError(
+            "fused train step does not take latent conditioning"
+        )
+
+    def one_step(state: TrainState, _):
+        key = fold_key(state)
+        batch = bank.sample_batch(
+            jax.random.fold_in(key, 0x5A17), batch_size
+        )
+        loss, grads, aux = loss_and_grads(state.params, key, batch)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
-        aux = {"loss": loss, "rgb_loss": loss, "fine_mse": fine_mse}
         return (
             TrainState(state.step + 1, params, opt_state, state.key),
             aux,
@@ -434,6 +469,29 @@ class Trainer:
             state = prepare_parallel_state(state, self.mesh)
         return state
 
+    def _make_run_fn(self, bank: RayBank, num_steps: int, fused: bool):
+        """A K-step jitted runner for the current config (state donated)."""
+        cfg = self.train_cfg
+        if self.mesh is not None:
+            from nerf_tpu.parallel.train import (
+                make_parallel_multi_step_train_fn,
+            )
+
+            return make_parallel_multi_step_train_fn(
+                self.model, self.optimizer, self.render, bank,
+                cfg.batch_size, self.mesh, num_steps, self.seg_weight,
+                fused=fused,
+            )
+        if fused:
+            return make_fused_multi_step_train_fn(
+                self.model, self.optimizer, self.render, bank,
+                cfg.batch_size, num_steps,
+            )
+        return make_multi_step_train_fn(
+            self.model, self.optimizer, self.render, bank,
+            cfg.batch_size, num_steps, self.seg_weight,
+        )
+
     def fit(
         self,
         bank: RayBank,
@@ -442,66 +500,71 @@ class Trainer:
         state: Optional[TrainState] = None,
         eval_view: int = -1,
     ) -> TrainState:
+        """Train to ``num_steps``, running K-step ``lax.scan`` chunks
+        between log/eval/checkpoint boundaries — one dispatch per chunk,
+        with the fully-fused Pallas path auto-selected when the config
+        supports it.  Per-step PRNG keys derive from the step counter
+        (``fold_key``), so chunked execution is bit-identical to
+        step-by-step (tested), and resume from any checkpoint continues
+        the same trajectory.
+        """
+        import math
+        import time
+
         cfg = self.train_cfg
         num_steps = num_steps or cfg.num_steps
         state = state if state is not None else self.init_state()
-        if self.mesh is not None:
-            from nerf_tpu.parallel.train import (
-                make_parallel_sampling_train_step,
-            )
+        # Fused is opt-in via cfg.use_pallas (the XLA path stays reachable,
+        # and CPU test runs don't silently pay interpret-mode kernels).
+        fused = (
+            self.seg_weight == 0.0
+            and getattr(self.model.cfg, "use_pallas", False)
+            and supports_fused_train(self.model, self.render, bank)
+        )
 
-            step_fn = make_parallel_sampling_train_step(
-                self.model,
-                self.optimizer,
-                self.render,
-                bank,
-                cfg.batch_size,
-                self.mesh,
-                self.seg_weight,
-                donate=False,
-            )
-        else:
-            step_fn = make_sampling_train_step(
-                self.model,
-                self.optimizer,
-                self.render,
-                bank,
-                cfg.batch_size,
-                self.seg_weight,
-            )
+        # Chunk = the coincidence grid of all periodic boundaries, so each
+        # log/eval/checkpoint lands exactly on a chunk edge.
+        chunk = math.gcd(
+            math.gcd(cfg.log_interval, cfg.eval_interval),
+            cfg.checkpoint_interval,
+        )
+        run_fns: Dict[int, Callable] = {}
 
-        import time
+        def run_chunk(state, k):
+            if k not in run_fns:
+                run_fns[k] = self._make_run_fn(bank, k, fused)
+            return run_fns[k](state)
 
         last_t = time.time()
-        start_step = int(state.step)
-        for i in range(start_step, num_steps):
-            state, aux = step_fn(state)
-            if (i + 1) % cfg.log_interval == 0 or i + 1 == num_steps:
+        step = int(state.step)
+        while step < num_steps:
+            boundary = min(num_steps, (step // chunk + 1) * chunk)
+            k = boundary - step
+            # The multi-step runners DONATE the state buffers: rebind.
+            state, aux = run_chunk(state, k)
+            step = boundary
+
+            if step % cfg.log_interval == 0 or step == num_steps:
                 aux = jax.device_get(aux)
                 now = time.time()
-                steps_done = (i + 1 - start_step) or 1
-                rays_per_s = (
-                    cfg.batch_size
-                    * min(cfg.log_interval, steps_done)
-                    / max(now - last_t, 1e-9)
-                )
-                last_t = now
+                rays_per_s = cfg.batch_size * k / max(now - last_t, 1e-9)
                 record = dict(
-                    loss=aux["loss"],
-                    train_psnr=float(mse_to_psnr(aux["fine_mse"])),
+                    loss=float(aux["loss"][-1]),
+                    train_psnr=float(mse_to_psnr(aux["fine_mse"][-1])),
                     rays_per_s=rays_per_s,
                 )
                 if eval_scene is not None and (
-                    (i + 1) % cfg.eval_interval == 0 or i + 1 == num_steps
+                    step % cfg.eval_interval == 0 or step == num_steps
                 ):
                     _, value = evaluate(
                         self.model, state.params, eval_scene, self.render,
                         eval_view,
                     )
                     record["psnr"] = float(value)
-                self.metrics.log(i + 1, **record)
-            if self.logging_dir and (i + 1) % cfg.checkpoint_interval == 0:
+                self.metrics.log(step, **record)
+            if self.logging_dir and step % cfg.checkpoint_interval == 0:
                 ckpt_lib.save_checkpoint(self.logging_dir, state)
+            last_t = time.time()
         if self.logging_dir:
             ckpt_lib.save_checkpoint(self.logging_dir, state)
             self.metrics.save_npy_dumps()

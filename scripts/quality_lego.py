@@ -93,15 +93,6 @@ def main() -> None:
     state = create_train_state(model.init(jax.random.PRNGKey(0)), opt)
     if args.fused:
         from nerf_tpu.train import make_fused_multi_step_train_fn as maker
-
-        if args.fine_samples:
-            # The fused trainer implements the re-evaluate hierarchical
-            # formulation; align the config (and the eval render) with it.
-            import dataclasses
-
-            train_render = dataclasses.replace(
-                train_render, reuse_coarse_in_fine=False
-            )
     else:
         maker = make_multi_step_train_fn
     run = maker(model, opt, train_render, bank, args.batch_size, args.chunk)

@@ -256,6 +256,60 @@ class TestCheckpoint:
             assert sd[k].shape == orig[k].shape
 
 
+class TestTrainerChunking:
+    def test_chunked_fit_is_bit_identical_to_single_steps(self, small_scene):
+        # Trainer.fit runs K-step lax.scan chunks; the fold_in(key, step)
+        # PRNG scheme must make that bit-identical to stepping one at a
+        # time (also the resume-safety property).
+        from nerf_tpu.train.loop import make_sampling_train_step
+
+        model = tiny_model()
+        bank = RayBank.from_images(
+            small_scene.images[:-1], small_scene.pose_o[:-1],
+            small_scene.pose_r[:-1], small_scene.focal,
+        )
+        render = RenderConfig(num_coarse_samples=16, density_noise_std=0.2)
+        opt = optax.adam(5e-4)
+
+        trainer = Trainer(
+            model, render,
+            TrainConfig(batch_size=64, learning_rate=5e-4, log_interval=5,
+                        eval_interval=10, checkpoint_interval=10, seed=0),
+            optimizer=opt,
+        )
+        state = trainer.fit(bank, num_steps=10)
+
+        single = make_sampling_train_step(model, opt, render, bank, 64)
+        ref = create_train_state(model.init(jax.random.PRNGKey(0)), opt)
+        for _ in range(10):
+            ref, _ = single(ref)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b))
+            ),
+            state.params, ref.params,
+        )
+
+    def test_irregular_boundaries_compile_partial_chunks(self, small_scene):
+        # num_steps not a multiple of the interval gcd: the tail chunk is
+        # shorter, and log/checkpoint boundaries still land exactly.
+        model = tiny_model()
+        bank = RayBank.from_images(
+            small_scene.images[:-1], small_scene.pose_o[:-1],
+            small_scene.pose_r[:-1], small_scene.focal,
+        )
+        trainer = Trainer(
+            model,
+            RenderConfig(num_coarse_samples=16, density_noise_std=0.2),
+            TrainConfig(batch_size=64, learning_rate=5e-4, log_interval=4,
+                        eval_interval=8, checkpoint_interval=8),
+        )
+        state = trainer.fit(bank, num_steps=10)
+        assert int(jax.device_get(state.step)) == 10
+        steps = [r["step"] for r in trainer.metrics.history]
+        assert 4 in steps and 8 in steps and 10 in steps
+
+
 class TestTrainerEndToEnd:
     def test_fit_improves_psnr_and_logs(self, small_scene, tmp_path):
         model = tiny_model()
