@@ -55,6 +55,7 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from nerf_tpu.ops import compositing, cumulative
 from nerf_tpu.ops.pallas.fused_mlp import (
@@ -147,9 +148,10 @@ def _dot_exact(mask: Array, values: Array) -> Array:
 
 def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
                  white_background, splits):
-    (xf_ref, df_ref, auxf_ref, auxc_ref, tfrow_ref, tcrow_ref) = refs[0:6]
-    w = dict(zip(_PACK_ORDER, refs[6 : 6 + len(_PACK_ORDER)]))
-    outs = refs[6 + len(_PACK_ORDER) :]
+    (xf_ref, df_ref, auxf_ref, auxc_ref, tfrow_ref, tcrow_ref,
+     ridfrow_ref, ridcrow_ref) = refs[0:8]
+    w = dict(zip(_PACK_ORDER, refs[8 : 8 + len(_PACK_ORDER)]))
+    outs = refs[8 + len(_PACK_ORDER) :]
     (loss_ref, dw0_ref, dwx_ref, dwdin_ref, dwhh_ref, db_ref, dg_ref,
      dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref,
      gauxc_ref, gcrossc_ref) = outs
@@ -174,14 +176,6 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
     rows_c = rays_sl * s_coarse
     pos_f = jax.lax.broadcasted_iota(jnp.int32, (rows_f, 1), 0) % s_fine
     pos_c = jax.lax.broadcasted_iota(jnp.int32, (rows_c, 1), 0) % s_coarse
-    # Ray-id block masks for the cross-block reductions, in both
-    # orientations ([coarse rows, fine rows] and the transpose).
-    ray_c0 = jax.lax.broadcasted_iota(jnp.int32, (rows_c, rows_f), 0)
-    ray_f1 = jax.lax.broadcasted_iota(jnp.int32, (rows_c, rows_f), 1)
-    same_cf = (ray_c0 // s_coarse) == (ray_f1 // s_fine)
-    ray_f0 = jax.lax.broadcasted_iota(jnp.int32, (rows_f, rows_c), 0)
-    ray_c1 = jax.lax.broadcasted_iota(jnp.int32, (rows_f, rows_c), 1)
-    same_fc = (ray_f0 // s_fine) == (ray_c1 // s_coarse)
 
     acc = None
     loss_sum = jnp.zeros((1, 1), jnp.float32)
@@ -197,13 +191,37 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         noise = auxf[:, 2:3]
         cross_c = auxf[:, 3:4]
         pix_f = auxf[:, 4 : 4 + cols]
-        t_c = auxc[:, 0:1]
-        alpha_c = auxc[:, 1:2]
-        pref_c = auxc[:, 2:3]
-        sig_c = auxc[:, 3 : 3 + cols]
-        pix_c = auxc[:, 3 + cols : 3 + 2 * cols]
+        # sig_c leads the coarse aux lanes: it is the one MULTI-lane field
+        # that feeds shift ladders and mask matmuls, and Mosaic cannot
+        # lower the ladder's concat when an operand carries a non-zero
+        # lane offset ("result/input offset mismatch on non-concat
+        # dimension", reproduced in isolation on v5e).  Width-1 slices and
+        # elementwise-only fields (pix) are offset-safe — the coarse-only
+        # fused_train kernel relies on exactly that.
+        sig_c = auxc[:, 0:cols]
+        t_c = auxc[:, cols : cols + 1]
+        alpha_c = auxc[:, cols + 1 : cols + 2]
+        pref_c = auxc[:, cols + 2 : cols + 3]
+        pix_c = auxc[:, cols + 3 : 2 * cols + 3]
+        rid_c = auxc[:, 2 * cols + 3 : 2 * cols + 4]
+        rid_f = auxf[:, 4 + cols : 5 + cols]
         t_f_row = tfrow_ref[:, fsl]  # [1, rows_f]
         t_c_row = tcrow_ref[:, csl]  # [1, rows_c]
+        # Same-ray masks from ray ids carried as DATA, built ONLY from
+        # single broadcast `<` compares and f32 multiplies: the deployed
+        # Mosaic compiler hangs on both a 2-D ``broadcasted_iota //
+        # samples`` construction and on f32 ``==`` broadcast masks
+        # (each reproduced in isolation on v5e; the [rows, 1] iota ``%``
+        # above and broadcast ``<`` masks compile fine).  Ray ids are
+        # integer-valued f32, so the +-0.5 band is an exact equality.
+        rid_f_row = ridfrow_ref[:, fsl]
+        rid_c_row = ridcrow_ref[:, csl]
+        same_cf = (rid_f_row < rid_c + 0.5).astype(jnp.float32) * (
+            (rid_c - 0.5) < rid_f_row
+        ).astype(jnp.float32)  # [rows_c, rows_f]
+        same_fc = (rid_c_row < rid_f + 0.5).astype(jnp.float32) * (
+            (rid_f - 0.5) < rid_c_row
+        ).astype(jnp.float32)  # [rows_f, rows_c]
 
         # ---- fine forward (chain kept VMEM-resident) ----
         chain, dens_raw, col = _forward_chain(x, d, w, dt, keep=True)
@@ -220,27 +238,27 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         # Fine-before-coarse is STRICT t comparison (fine indices follow
         # coarse indices, so a tie is NOT "before" — weights_from_unsorted
         # total order).
-        m_cf = (same_cf & (t_f_row < t_c)).astype(jnp.float32)
+        # Mosaic cannot lower LANE-axis concats of narrow arrays
+        # ("result/input offset mismatch on non-concat dimension"), so the
+        # cross-block sums run as separate mask matmuls per operand
+        # instead of one packed-RHS matmul — same cost: every k <= 128
+        # result pads to 128 lanes anyway.
+        m_cf = same_cf * (t_f_row < t_c).astype(jnp.float32)
         cross_f = _dot_exact(m_cf, log_af)  # [rows_c, 1]
         t_coarse_full = jnp.exp(pref_c + cross_f)
         w_c = (1.0 - alpha_c) * t_coarse_full
 
-        fine_vals = jnp.concatenate([w_f * sig_f, w_f], axis=-1)
-        fine_on_c = _dot_exact(same_cf.astype(jnp.float32), fine_vals)
-        coarse_vals = jnp.concatenate([w_c * sig_c, w_c], axis=-1)
-        coarse_on_f = _dot_exact(same_fc.astype(jnp.float32), coarse_vals)
-
-        rgb_c = _seg_total(w_c * sig_c, pos_c, s_coarse) + fine_on_c[:, :cols]
-        rgb_f = _seg_total(w_f * sig_f, pos_f, s_fine) + coarse_on_f[:, :cols]
+        rgb_c = _seg_total(w_c * sig_c, pos_c, s_coarse) + _dot_exact(
+            same_cf, w_f * sig_f
+        )
+        rgb_f = _seg_total(w_f * sig_f, pos_f, s_fine) + _dot_exact(
+            same_fc, w_c * sig_c
+        )
         if white_background:
-            acc_c = (
-                _seg_total(w_c, pos_c, s_coarse)
-                + fine_on_c[:, cols : cols + 1]
+            acc_c = _seg_total(w_c, pos_c, s_coarse) + _dot_exact(
+                same_cf, w_f
             )
-            acc_f = (
-                _seg_total(w_f, pos_f, s_fine)
-                + coarse_on_f[:, cols : cols + 1]
-            )
+            acc_f = _seg_total(w_f, pos_f, s_fine) + _dot_exact(same_fc, w_c)
             rgb_c = rgb_c + (1.0 - acc_c)
             rgb_f = rgb_f + (1.0 - acc_f)
         err_c = rgb_c - pix_c
@@ -263,7 +281,7 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         g_logt_c = (1.0 - alpha_c) * t_coarse_full * g_wc
         # cross_f's cotangent scatters back to every fine log-alpha below
         # the coarse sample: the transposed t-mask.
-        m_fc = (same_fc & (t_f < t_c_row)).astype(jnp.float32)
+        m_fc = same_fc * (t_f < t_c_row).astype(jnp.float32)
         g_laf = _dot_exact(m_fc, g_logt_c)
         g_alpha_f = -t_fine_full * g_wf
         g_logt_f = (1.0 - alpha_f) * t_fine_full * g_wf
@@ -273,9 +291,10 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
             jnp.float32
         )
 
-        gauxc_ref[csl, :] = jnp.concatenate(
-            [g_alpha_c, g_logt_c, g_sigc], axis=-1
-        )
+        # Sliced stores, not a lane concat (same Mosaic limitation).
+        gauxc_ref[csl, 0:1] = g_alpha_c
+        gauxc_ref[csl, 1:2] = g_logt_c
+        gauxc_ref[csl, 2 : 2 + cols] = g_sigc
         gcrossc_ref[fsl, :] = g_logt_f
 
         # MLP backward with NO forward recompute; grads flow only to
@@ -367,6 +386,11 @@ def fine_stage_train_pallas(
     d2 = d_enc.reshape(total_f, de).astype(compute_dtype)
     pix_f = jnp.broadcast_to(pixels[:, None, :], (n_rays, s_fine, cols))
     pix_c = jnp.broadcast_to(pixels[:, None, :], (n_rays, s_coarse, cols))
+    # Ray ids as f32 data (exact equality up to 2^24 rays) — the kernel
+    # builds its same-ray masks from these; see the in-kernel note.
+    ray_ids = jnp.arange(n_rays, dtype=jnp.float32)
+    rid_f = jnp.broadcast_to(ray_ids[:, None], (n_rays, s_fine))
+    rid_c = jnp.broadcast_to(ray_ids[:, None], (n_rays, s_coarse))
     aux_f = jnp.concatenate(
         [
             t_fine[..., None],
@@ -374,21 +398,25 @@ def fine_stage_train_pallas(
             noise_f[..., None],
             cross_c[..., None],
             pix_f,
+            rid_f[..., None],
         ],
         axis=-1,
-    ).reshape(total_f, 4 + cols)
+    ).reshape(total_f, 5 + cols)
     aux_c = jnp.concatenate(
         [
+            sig_c,
             t_coarse[..., None],
             alpha_c[..., None],
             pref_own[..., None],
-            sig_c,
             pix_c,
+            rid_c[..., None],
         ],
         axis=-1,
-    ).reshape(total_c, 3 + 2 * cols)
+    ).reshape(total_c, 4 + 2 * cols)
     tf_row = t_fine.reshape(1, total_f)
     tc_row = t_coarse.reshape(1, total_c)
+    ridf_row = rid_f.reshape(1, total_f)
+    ridc_row = rid_c.reshape(1, total_c)
 
     packed = pack_classic_params(params)
     weights = [packed[k] for k in _PACK_ORDER]
@@ -431,8 +459,10 @@ def fine_stage_train_pallas(
         in_specs=[
             _tile_spec(tile_f, xe),
             _tile_spec(tile_f, de),
-            _tile_spec(tile_f, 4 + cols),
-            _tile_spec(tile_c, 3 + 2 * cols),
+            _tile_spec(tile_f, 5 + cols),
+            _tile_spec(tile_c, 4 + 2 * cols),
+            pl.BlockSpec((1, tile_f), lambda i: (0, i)),
+            pl.BlockSpec((1, tile_c), lambda i: (0, i)),
             pl.BlockSpec((1, tile_f), lambda i: (0, i)),
             pl.BlockSpec((1, tile_c), lambda i: (0, i)),
             *[_full_spec(wt.shape) for wt in weights],
@@ -440,7 +470,7 @@ def fine_stage_train_pallas(
         out_specs=out_specs,
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(x2, d2, aux_f, aux_c, tf_row, tc_row, *weights)
+    )(x2, d2, aux_f, aux_c, tf_row, tc_row, ridf_row, ridc_row, *weights)
 
     loss = loss_weight * outs[0][0, 0] / n_rays
     grads = unpack_classic_grads(dict(zip(_PACK_ORDER, outs[1:12])), params)
