@@ -222,6 +222,87 @@ _WORKER_TP = textwrap.dedent(
 )
 
 
+_WORKER_TP_CKPT = textwrap.dedent(
+    """
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    rank = int(sys.argv[1])
+    port = sys.argv[2]
+    ckpt_dir = sys.argv[3]
+    phase = sys.argv[4]  # "first" or "resume"
+
+    from nerf_tpu.parallel import distributed
+    distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                           process_id=rank)
+
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from nerf_tpu import ClassicNeRF, ClassicNeRFConfig, RenderConfig
+    from nerf_tpu.parallel.tensor_parallel import (make_tp_train_step,
+                                                   prepare_tp_state)
+    from nerf_tpu.train import create_train_state
+    from nerf_tpu.train.checkpoint import restore_latest, save_checkpoint
+
+    # Hidden dim split ACROSS the process boundary: every param (and Adam
+    # moment) leaf is non-addressable from either process, so the sharded
+    # checkpoint layout is the only correct one.
+    mesh = Mesh(np.asarray(jax.devices()).reshape(1, 2), ("batch", "model"))
+    model = ClassicNeRF(ClassicNeRFConfig(
+        normalize_position=6.0, x_positional_encoding_size=8,
+        d_positional_encoding_size=4, hidden_size=16, trunk_blocks=(2, 2),
+        view_branch_depth=1, use_pallas=False))
+    render = RenderConfig(num_coarse_samples=8, near=2.0, far=6.0,
+                          randomly_sample=False, density_noise_std=0.0)
+    opt = optax.adam(1e-3)
+    state = create_train_state(model.init(jax.random.PRNGKey(0)), opt)
+    state = prepare_tp_state(state, model, mesh)
+    if phase == "resume":
+        restored = restore_latest(ckpt_dir, state)
+        assert restored is not None, "no checkpoint to resume from"
+        state = restored
+        assert int(state.step) == 3, int(state.step)
+
+    step = make_tp_train_step(model, opt, render, mesh, donate=False)
+
+    GLOBAL_BATCH = 32
+    rng = np.random.default_rng(0)  # same global data on every host
+    g = {
+        "rays_o": rng.normal(size=(GLOBAL_BATCH, 3)).astype(np.float32),
+        "rays_d": rng.normal(size=(GLOBAL_BATCH, 3)).astype(np.float32),
+        "pixels": rng.uniform(size=(GLOBAL_BATCH, 3)).astype(np.float32),
+    }
+    repl = NamedSharding(mesh, P())
+    batch = {
+        k: jax.make_array_from_process_local_data(repl, v, (GLOBAL_BATCH, 3))
+        for k, v in g.items()
+    }
+
+    losses = []
+    for _ in range(3):
+        state, aux = step(state, batch)
+        losses.append(float(jax.device_get(aux["loss"])))
+
+    if phase == "first":
+        # EVERY process calls save (collective): each writes only its own
+        # addressable shards, proc 0 gates completion with the manifest.
+        save_checkpoint(ckpt_dir, state)
+        if rank == 0:
+            names = sorted(os.listdir(ckpt_dir))
+            assert names == ["checkpoint_3.npz", "checkpoint_3.shards0.npz",
+                             "checkpoint_3.shards1.npz"], names
+    distributed.collective_barrier()
+    print(f"RANK{rank} {phase} step={int(state.step)} "
+          f"losses={','.join(f'{l:.6f}' for l in losses)}", flush=True)
+    """
+)
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -305,6 +386,53 @@ class TestTwoProcessTensorParallel:
             text = out.decode()
             assert p.returncode == 0, text[-2000:]
             assert f"RANK{r} tp" in text and "match=True" in text
+
+
+class TestTwoProcessShardedCheckpoint:
+    def test_tp_sharded_checkpoint_restart(self, tmp_path):
+        """dp×tp global mesh with the model axis ACROSS the process
+        boundary: the train state is non-addressable from either process,
+        so save must go through the sharded layout (per-process shard
+        files + manifest) and restore must reassemble + re-shard.  Kill
+        after 3 steps, restart, and the resumed run must agree across
+        ranks and keep counting steps."""
+
+        def run(phase, port):
+            worker = tmp_path / "worker_tp_ckpt.py"
+            worker.write_text(_WORKER_TP_CKPT)
+            env = dict(os.environ)
+            env.pop("XLA_FLAGS", None)  # one CPU device per process
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, str(worker), str(r), str(port),
+                     str(tmp_path / "ckpt"), phase],
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                    env=env,
+                )
+                for r in range(2)
+            ]
+            outs = []
+            for p in procs:
+                out, _ = p.communicate(timeout=300)
+                outs.append(out.decode())
+                assert p.returncode == 0, out.decode()[-2000:]
+            return [
+                next(l for l in o.splitlines() if l.startswith(f"RANK{r}"))
+                for r, o in enumerate(outs)
+            ]
+
+        lines = run("first", _free_port())
+        assert "step=3" in lines[0]
+        assert lines[0].split(" ", 2)[2] == lines[1].split(" ", 2)[2]
+
+        lines2 = run("resume", _free_port())
+        assert "step=6" in lines2[0]
+        assert lines2[0].split(" ", 2)[2] == lines2[1].split(" ", 2)[2]
+        # Resumed losses continue to improve on the first phase's start.
+        first = [float(x) for x in lines[0].split("losses=")[1].split(",")]
+        resumed = [float(x) for x in
+                   lines2[0].split("losses=")[1].split(",")]
+        assert resumed[-1] < first[0]
 
 
 class TestTwoProcessTraining:
