@@ -143,7 +143,7 @@ class ClassicNeRF:
         if self.cfg.use_pallas:
             from nerf_tpu.ops.pallas import fused_mlp
 
-            if d_enc is not None and fused_mlp.supports_classic_config(self.cfg):
+            if fused_mlp.supports_classic_config(self.cfg):
                 density, color = fused_mlp.classic_mlp_pallas(
                     params,
                     x_enc,

@@ -521,23 +521,42 @@ def reuse_train_loss_and_grads(
         randomly_sample=render.randomly_sample, dtype=rays_o.dtype,
     )
 
+    states_x = batch.get("states_x")
+    states_d = batch.get("states_d")
+
     def encode(t_vals, flat):
         points = (
             rays_o[:, None, :] + rays_d[:, None, :] * t_vals[..., None]
         )
         dirs = jnp.broadcast_to(rays_d[:, None, :], points.shape)
+        s = t_vals.shape[-1]
+
+        def flat_states(st):
+            # Per-ray latents expanded to the flattened per-point rows.
+            if st is None or st.shape[-1] == 0:
+                return None
+            return jnp.broadcast_to(
+                st[:, None, :], (n_rays, s, st.shape[-1])
+            ).reshape(-1, st.shape[-1])
+
         if flat:
             # Flat layout writes the fused kernel's row-major layout
             # directly (no grads flow through fine encodings).
-            s = t_vals.shape[-1]
-            x_e = model.encode_position(points.reshape(-1, 3)).reshape(
-                n_rays, s, -1
-            )
-            d_e = model.encode_direction(dirs.reshape(-1, 3)).reshape(
-                n_rays, s, -1
-            )
+            x_e = model.encode_position(
+                points.reshape(-1, 3), flat_states(states_x)
+            ).reshape(n_rays, s, -1)
+            d_e = model.encode_direction(
+                dirs.reshape(-1, 3), flat_states(states_d)
+            ).reshape(n_rays, s, -1)
             return x_e, d_e
-        return model.encode_position(points), model.encode_direction(dirs)
+        return (
+            model.encode_position(
+                points, None if states_x is None else states_x[:, None, :]
+            ),
+            model.encode_direction(
+                dirs, None if states_d is None else states_d[:, None, :]
+            ),
+        )
 
     # -- coarse stage: custom-VJP MLP + XLA compositing/loss --------------
     xc_enc, dc_enc = encode(t_coarse, flat=False)

@@ -32,7 +32,7 @@ bf16 with f32 accumulation via ``compute_dtype``.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -81,40 +81,52 @@ def pack_classic_params(params: Dict[str, Any]) -> Dict[str, Array]:
     Differentiable (pure stack/slice), so standard autodiff flows through
     the packing around the custom-VJP core.
     """
-    b0, b1, b2 = params["block_0"], params["block_1"], params["block_2"]
+    b0, b1 = params["block_0"], params["block_1"]
+    b2 = params.get("block_2")  # absent <=> use_viewdirs=False
     h = b0[0]["linear"]["w"].shape[1]
 
     whh = jnp.stack(
         [b0[i]["linear"]["w"] for i in (1, 2, 3)]
         + [b1[0]["linear"]["w"][:h]]
         + [b1[i]["linear"]["w"] for i in (1, 2, 3)]
-        + [b2[0]["linear"]["w"][:h]]
-        + [b2[1]["linear"]["w"]]
-    )  # [9, H, H]
+        + (
+            [b2[0]["linear"]["w"][:h], b2[1]["linear"]["w"]]
+            if b2 is not None
+            else []
+        )
+    )  # [9, H, H] with the view branch, [7, H, H] without
 
-    layers = b0 + b1 + b2  # 10 layers in execution order
-    return {
+    layers = b0 + b1 + (b2 or [])  # layers in execution order
+    packed = {
         "w0": b0[0]["linear"]["w"],          # [XE, H]
         "wx": b1[0]["linear"]["w"][h:],      # [XE, H] skip tail
-        "wd_in": b2[0]["linear"]["w"][h:],   # [DE, H] view tail
-        "whh": whh,                          # [9, H, H]
-        "b": jnp.stack([l["linear"]["b"] for l in layers]),    # [10, H]
-        "g": jnp.stack([l["ln"]["scale"] for l in layers]),    # [10, H]
-        "beta": jnp.stack([l["ln"]["bias"] for l in layers]),  # [10, H]
+        "whh": whh,
+        "b": jnp.stack([l["linear"]["b"] for l in layers]),    # [L, H]
+        "g": jnp.stack([l["ln"]["scale"] for l in layers]),    # [L, H]
+        "beta": jnp.stack([l["ln"]["bias"] for l in layers]),  # [L, H]
         "w_dens": params["density"]["w"],    # [H, 1]
         "b_dens": params["density"]["b"].reshape(1, 1),
         "w_col": params["color"]["w"],       # [H, C]
         "b_col": params["color"]["b"].reshape(1, -1),
     }
+    if b2 is not None:
+        packed["wd_in"] = b2[0]["linear"]["w"][h:]  # [DE, H] view tail
+    return packed
 
 
 def supports_classic_config(cfg) -> bool:
-    """The kernel covers the reference architecture family."""
-    return (
-        cfg.trunk_blocks == (4, 4)
-        and cfg.view_branch_depth == 2
-        and cfg.use_viewdirs
+    """The kernel covers the reference architecture family — with or
+    without the view branch, and at any encoding width (latent-conditioned
+    models just widen XE/DE; the slab shapes carry the widths)."""
+    return cfg.trunk_blocks == (4, 4) and (
+        not cfg.use_viewdirs or cfg.view_branch_depth == 2
     )
+
+
+def _pack_order(viewdirs: bool) -> Tuple[str, ...]:
+    if viewdirs:
+        return _PACK_ORDER
+    return tuple(k for k in _PACK_ORDER if k != "wd_in")
 
 
 _PACK_ORDER = (
@@ -214,6 +226,10 @@ def _forward_chain(x, d, w, dtype, keep=False):
     the backward never recomputes LayerNorm statistics (the sweep's h is
     reconstructed as ``xhat * g + beta`` and its ReLU mask as
     ``xhat > thr``).
+
+    The view branch (L8/L9 + ``d``) runs iff ``wd_in`` is packed; without
+    it the color head reads the trunk output directly
+    (``use_viewdirs=False`` — ``models/mlp.py::apply_classic_mlp``).
     """
     chain = []
 
@@ -232,9 +248,10 @@ def _forward_chain(x, d, w, dtype, keep=False):
     for i in (5, 6, 7):
         h = layer(i, _dot(h, w["whh"][i - 1], dtype))
     density = _dot(h, w["w_dens"], dtype) + w["b_dens"][0]
-    h2 = layer(8, _dot(h, w["whh"][7], dtype) + _dot(d, w["wd_in"], dtype))
-    h2 = layer(9, _dot(h2, w["whh"][8], dtype))
-    color = _dot(h2, w["w_col"], dtype) + w["b_col"][0]
+    if "wd_in" in w:
+        h = layer(8, _dot(h, w["whh"][7], dtype) + _dot(d, w["wd_in"], dtype))
+        h = layer(9, _dot(h, w["whh"][8], dtype))
+    color = _dot(h, w["w_col"], dtype) + w["b_col"][0]
     return chain, density, color
 
 
@@ -292,20 +309,23 @@ _NUM_ENC_REFS = 4  # sx, phx, sd, phd
 _FWD_SPLITS = 2
 
 
-def _fwd_kernel(*refs, compute_dtype, fuse_encoding=False):
-    x_ref, d_ref = refs[0], refs[1]
-    k = 2
+def _fwd_kernel(*refs, compute_dtype, fuse_encoding=False, has_view=True):
+    x_ref = refs[0]
+    d_ref = refs[1] if has_view else None
+    k = 2 if has_view else 1
     enc_refs = None
     if fuse_encoding:
         enc_refs = refs[k : k + _NUM_ENC_REFS]
         k += _NUM_ENC_REFS
-    w = dict(zip(_PACK_ORDER, refs[k : k + len(_PACK_ORDER)]))
-    out_ref = refs[k + len(_PACK_ORDER)]
+    order = _pack_order(has_view)
+    w = dict(zip(order, refs[k : k + len(order)]))
+    out_ref = refs[k + len(order)]
     w = {k2: v[:] for k2, v in w.items()}
     rows = x_ref.shape[0] // _FWD_SPLITS
     for s in range(_FWD_SPLITS):
         sl = slice(s * rows, (s + 1) * rows)
-        x, d = x_ref[sl, :], d_ref[sl, :]
+        x = x_ref[sl, :]
+        d = d_ref[sl, :] if has_view else None
         if fuse_encoding:
             x, d, _, _ = _encode_in_kernel(x, d, enc_refs)
         _, density, color = _forward_chain(x, d, w, compute_dtype)
@@ -371,11 +391,14 @@ def _bwd_slice(x, d, g_dens, g_col, w, dt, chain=None,
         # layer — the backward sweep reuses the forward's LN statistics.
         chain, _, _ = _forward_chain(x, d, w, dt, keep=True)
 
+    viewdirs = "wd_in" in w
+    n_layers = NUM_LAYERS if viewdirs else NUM_LAYERS - 2
+    n_hh = NUM_HH if viewdirs else NUM_HH - 2
     grads = {}
-    db = [None] * NUM_LAYERS
-    dg = [None] * NUM_LAYERS
-    dbeta = [None] * NUM_LAYERS
-    dwhh = [None] * NUM_HH
+    db = [None] * n_layers
+    dg = [None] * n_layers
+    dbeta = [None] * n_layers
+    dwhh = [None] * n_hh
 
     def layer_bwd(i, g_h):
         dpre, dg_i, dbeta_i, h_i = _ln_relu_bwd(
@@ -388,20 +411,31 @@ def _bwd_slice(x, d, g_dens, g_col, w, dt, chain=None,
 
     # ``dwhh[j] = h_j^T dpre_{j+1}`` is emitted one layer late, when layer
     # j's backward reconstructs h_j (``dpre_next`` carries dpre_{j+1}).
-    # L9 + color head
-    dpre_next, h9 = layer_bwd(9, _dot_t(g_col, w["w_col"], dt))
-    grads["w_col"] = _dot_tn(h9, g_col, dt)
-    grads["b_col"] = jnp.sum(g_col, axis=0, keepdims=True)
-    # L8 (view conditioning)
-    dpre, h8 = layer_bwd(8, _dot_t(dpre_next, w["whh"][8], dt))
-    dwhh[8] = _dot_tn(h8, dpre_next, dt)
-    grads["wd_in"] = _dot_tn(d, dpre, dt)
-    dd = _dot_t(dpre, w["wd_in"], dt) if input_grads else None
-    dpre_next = dpre
-    # L7 (density head joins at h7)
-    g_h = _dot_t(dpre_next, w["whh"][7], dt) + _dot_t(g_dens, w["w_dens"], dt)
-    dpre, h7 = layer_bwd(7, g_h)
-    dwhh[7] = _dot_tn(h7, dpre_next, dt)
+    dd = None
+    if viewdirs:
+        # L9 + color head
+        dpre_next, h9 = layer_bwd(9, _dot_t(g_col, w["w_col"], dt))
+        grads["w_col"] = _dot_tn(h9, g_col, dt)
+        grads["b_col"] = jnp.sum(g_col, axis=0, keepdims=True)
+        # L8 (view conditioning)
+        dpre, h8 = layer_bwd(8, _dot_t(dpre_next, w["whh"][8], dt))
+        dwhh[8] = _dot_tn(h8, dpre_next, dt)
+        grads["wd_in"] = _dot_tn(d, dpre, dt)
+        dd = _dot_t(dpre, w["wd_in"], dt) if input_grads else None
+        dpre_next = dpre
+        # L7 (density head joins at h7)
+        g_h = (
+            _dot_t(dpre_next, w["whh"][7], dt)
+            + _dot_t(g_dens, w["w_dens"], dt)
+        )
+        dpre, h7 = layer_bwd(7, g_h)
+        dwhh[7] = _dot_tn(h7, dpre_next, dt)
+    else:
+        # No view branch: BOTH heads join at the trunk output h7.
+        g_h = _dot_t(g_col, w["w_col"], dt) + _dot_t(g_dens, w["w_dens"], dt)
+        dpre, h7 = layer_bwd(7, g_h)
+        grads["w_col"] = _dot_tn(h7, g_col, dt)
+        grads["b_col"] = jnp.sum(g_col, axis=0, keepdims=True)
     grads["w_dens"] = _dot_tn(h7, g_dens, dt)
     grads["b_dens"] = jnp.sum(g_dens, axis=0, keepdims=True)
     dpre_next = dpre
@@ -434,22 +468,31 @@ def _bwd_slice(x, d, g_dens, g_col, w, dt, chain=None,
     return dx, dd, grads
 
 
-def _bwd_kernel(*refs, compute_dtype, fuse_encoding=False):
-    (x_ref, d_ref, gout_ref) = refs[0:3]
-    k = 3
+def _bwd_kernel(*refs, compute_dtype, fuse_encoding=False, has_view=True):
+    x_ref = refs[0]
+    d_ref = refs[1] if has_view else None
+    gout_ref = refs[2 if has_view else 1]
+    k = 3 if has_view else 2
     enc_refs = None
     if fuse_encoding:
         enc_refs = refs[k : k + _NUM_ENC_REFS]
         k += _NUM_ENC_REFS
-    w = dict(zip(_PACK_ORDER, refs[k : k + len(_PACK_ORDER)]))
-    outs = refs[k + len(_PACK_ORDER) :]
-    (dx_ref, dd_ref, dw0_ref, dwx_ref, dwdin_ref, dwhh_ref, db_ref,
-     dg_ref, dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref) = outs
+    order = _pack_order(has_view)
+    w = dict(zip(order, refs[k : k + len(order)]))
+    outs = list(refs[k + len(order) :])
+    dx_ref = outs.pop(0)
+    dd_ref = outs.pop(0) if has_view else None
+    (dw0_ref, dwx_ref) = outs[0:2]
+    dwdin_ref = outs[2] if has_view else None
+    (dwhh_ref, db_ref, dg_ref, dbeta_ref, dwdens_ref, dbdens_ref,
+     dwcol_ref, dbcol_ref) = outs[3 if has_view else 2 :]
     flat_refs = {
-        "w0": dw0_ref, "wx": dwx_ref, "wd_in": dwdin_ref,
+        "w0": dw0_ref, "wx": dwx_ref,
         "w_dens": dwdens_ref, "b_dens": dbdens_ref,
         "w_col": dwcol_ref, "b_col": dbcol_ref,
     }
+    if has_view:
+        flat_refs["wd_in"] = dwdin_ref
 
     w = {k2: v[:] for k2, v in w.items()}
     dt = compute_dtype
@@ -458,8 +501,8 @@ def _bwd_kernel(*refs, compute_dtype, fuse_encoding=False):
     # constant index_map, so the same VMEM block persists across steps).
     @pl.when(pl.program_id(0) == 0)
     def _():
-        for ref in (dw0_ref, dwx_ref, dwdin_ref, dwhh_ref, db_ref, dg_ref,
-                    dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref):
+        for ref in (*flat_refs.values(), dwhh_ref, db_ref, dg_ref,
+                    dbeta_ref):
             ref[...] = jnp.zeros_like(ref)
 
     tile = x_ref.shape[0]
@@ -468,7 +511,8 @@ def _bwd_kernel(*refs, compute_dtype, fuse_encoding=False):
     # slices' dataflow independent so the scheduler can interleave them.
     for s in range(_BWD_SPLITS):
         sl = slice(s * rows, (s + 1) * rows)
-        x, d = x_ref[sl, :], d_ref[sl, :]
+        x = x_ref[sl, :]
+        d = d_ref[sl, :] if has_view else None
         xf = df = None
         if fuse_encoding:
             x, d, xf, df = _encode_in_kernel(x, d, enc_refs)
@@ -481,7 +525,8 @@ def _bwd_kernel(*refs, compute_dtype, fuse_encoding=False):
             acc = jax.tree.map(jnp.add, acc, grads)
         if not fuse_encoding:
             dx_ref[sl, :] = dx
-            dd_ref[sl, :] = dd
+            if has_view:
+                dd_ref[sl, :] = dd
         else:
             # Chain rule through the in-kernel encoding to raw points/dirs.
             sx, _, sd, _ = (r[:] for r in enc_refs)
@@ -496,11 +541,11 @@ def _bwd_kernel(*refs, compute_dtype, fuse_encoding=False):
 
     for name, ref in flat_refs.items():
         ref[...] += acc[name]
-    for i in range(NUM_LAYERS):
+    for i in range(w["b"].shape[0]):
         db_ref[i, :] += acc["b"][i]
         dg_ref[i, :] += acc["g"][i]
         dbeta_ref[i, :] += acc["beta"][i]
-    for j in range(NUM_HH):
+    for j in range(w["whh"].shape[0]):
         dwhh_ref[j, :, :] += acc["whh"][j]
 
 
@@ -546,33 +591,39 @@ def _enc_operands(enc_cfg):
 
 
 def _fused_fwd_call(packed, x_enc, d_enc, compute_dtype, interpret, enc_cfg):
+    has_view = d_enc is not None
     p = x_enc.shape[0]
-    xe, de = x_enc.shape[1], d_enc.shape[1]
+    xe = x_enc.shape[1]
     cols = 1 + packed["w_col"].shape[1]
     x_pad, _ = _pad_points(x_enc, TILE_FWD)
-    d_pad, _ = _pad_points(d_enc, TILE_FWD)
+    d_ops, d_specs = (), ()
+    if has_view:
+        d_pad, _ = _pad_points(d_enc, TILE_FWD)
+        d_ops = (d_pad,)
+        d_specs = (_tile_spec(TILE_FWD, d_enc.shape[1]),)
     grid = x_pad.shape[0] // TILE_FWD
 
     enc_ops = _enc_operands(enc_cfg)
-    weights = [packed[k] for k in _PACK_ORDER]
+    weights = [packed[k] for k in _pack_order(has_view)]
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel,
             compute_dtype=compute_dtype,
             fuse_encoding=enc_cfg is not None,
+            has_view=has_view,
         ),
         out_shape=jax.ShapeDtypeStruct((x_pad.shape[0], cols), jnp.float32),
         grid=(grid,),
         in_specs=[
             _tile_spec(TILE_FWD, xe),
-            _tile_spec(TILE_FWD, de),
+            *d_specs,
             *[_full_spec(e.shape) for e in enc_ops],
             *[_full_spec(w.shape) for w in weights],
         ],
         out_specs=_tile_spec(TILE_FWD, cols),
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(x_pad, d_pad, *enc_ops, *weights)
+    )(x_pad, *d_ops, *enc_ops, *weights)
     return out[:p]
 
 
@@ -585,36 +636,38 @@ def _fused_fwd_rule(packed, x_enc, d_enc, compute_dtype, interpret, enc_cfg):
 
 def _fused_bwd_rule(compute_dtype, interpret, enc_cfg, residuals, g_out):
     packed, x_enc, d_enc = residuals
+    has_view = d_enc is not None
+    order = _pack_order(has_view)
     p = x_enc.shape[0]
-    xe, de = x_enc.shape[1], d_enc.shape[1]
+    xe = x_enc.shape[1]
     x_pad, _ = _pad_points(x_enc, TILE_BWD)
-    d_pad, _ = _pad_points(d_enc, TILE_BWD)
+    d_ops, d_in_specs = (), ()
+    if has_view:
+        d_pad, _ = _pad_points(d_enc, TILE_BWD)
+        d_ops = (d_pad,)
+        d_in_specs = (_tile_spec(TILE_BWD, d_enc.shape[1]),)
     g_pad, _ = _pad_points(g_out, TILE_BWD)  # zero pad => zero grads
     grid = x_pad.shape[0] // TILE_BWD
 
-    weights = [packed[k] for k in _PACK_ORDER]
-    wshapes = {k: packed[k].shape for k in _PACK_ORDER}
+    weights = [packed[k] for k in order]
+    wshapes = {k: packed[k].shape for k in order}
 
     out_shapes = [
         jax.ShapeDtypeStruct((x_pad.shape[0], xe), jnp.float32),  # dx
-        jax.ShapeDtypeStruct((x_pad.shape[0], de), jnp.float32),  # dd
-        jax.ShapeDtypeStruct(wshapes["w0"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["wx"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["wd_in"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["whh"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["b"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["g"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["beta"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["w_dens"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["b_dens"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["w_col"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["b_col"], jnp.float32),
+    ]
+    if has_view:
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (x_pad.shape[0], d_enc.shape[1]), jnp.float32
+            )  # dd
+        )
+    n_lead = len(out_shapes)
+    out_shapes += [
+        jax.ShapeDtypeStruct(wshapes[k], jnp.float32) for k in order
     ]
     out_specs = [
-        _tile_spec(TILE_BWD, xe),
-        _tile_spec(TILE_BWD, de),
-        *[_full_spec(s.shape) for s in out_shapes[2:]],
-    ]
+        _tile_spec(TILE_BWD, s.shape[1]) for s in out_shapes[:n_lead]
+    ] + [_full_spec(s.shape) for s in out_shapes[n_lead:]]
 
     enc_ops = _enc_operands(enc_cfg)
     outs = pl.pallas_call(
@@ -622,12 +675,13 @@ def _fused_bwd_rule(compute_dtype, interpret, enc_cfg, residuals, g_out):
             _bwd_kernel,
             compute_dtype=compute_dtype,
             fuse_encoding=enc_cfg is not None,
+            has_view=has_view,
         ),
         out_shape=out_shapes,
         grid=(grid,),
         in_specs=[
             _tile_spec(TILE_BWD, xe),
-            _tile_spec(TILE_BWD, de),
+            *d_in_specs,
             _tile_spec(TILE_BWD, g_out.shape[1]),
             *[_full_spec(e.shape) for e in enc_ops],
             *[_full_spec(w.shape) for w in weights],
@@ -635,26 +689,18 @@ def _fused_bwd_rule(compute_dtype, interpret, enc_cfg, residuals, g_out):
         out_specs=out_specs,
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(x_pad, d_pad, g_pad, *enc_ops, *weights)
+    )(x_pad, *d_ops, g_pad, *enc_ops, *weights)
 
-    (dx, dd, dw0, dwx, dwdin, dwhh, db, dg, dbeta, dwdens, dbdens, dwcol,
-     dbcol) = outs
-    d_packed = {
-        "w0": dw0,
-        "wx": dwx,
-        "wd_in": dwdin,
-        "whh": dwhh,
-        "b": db,
-        "g": dg,
-        "beta": dbeta,
-        "w_dens": dwdens,
-        "b_dens": dbdens,
-        "w_col": dwcol,
-        "b_col": dbcol,
-    }
+    dx = outs[0]
+    dd = outs[1] if has_view else None
+    d_packed = dict(zip(order, outs[n_lead:]))
     # Cotangent dtypes must match the primal inputs (which may be bf16 when
     # compute_dtype is bf16); the in-kernel accumulation stays f32.
-    return d_packed, dx[:p].astype(x_enc.dtype), dd[:p].astype(d_enc.dtype)
+    return (
+        d_packed,
+        dx[:p].astype(x_enc.dtype),
+        dd[:p].astype(d_enc.dtype) if has_view else None,
+    )
 
 
 _fused_core.defvjp(_fused_fwd_rule, _fused_bwd_rule)
@@ -668,7 +714,7 @@ _fused_core.defvjp(_fused_fwd_rule, _fused_bwd_rule)
 def classic_mlp_pallas(
     params: Dict[str, Any],
     x_enc: Array,
-    d_enc: Array,
+    d_enc: Optional[Array] = None,
     compute_dtype=jnp.float32,
     interpret: bool | None = None,
 ) -> Tuple[Array, Array]:
@@ -676,8 +722,12 @@ def classic_mlp_pallas(
 
     Args:
         params: ClassicNeRF pytree (``models/mlp.py`` layout).
-        x_enc: ``[..., XE]`` encoded positions.
-        d_enc: ``[..., DE]`` encoded view directions.
+        x_enc: ``[..., XE]`` encoded positions (latent-conditioned models
+            pass their widened encodings — the kernel reads XE/DE from the
+            arrays).
+        d_enc: ``[..., DE]`` encoded view directions, or ``None`` for the
+            ``use_viewdirs=False`` architecture (no view branch; the color
+            head reads the trunk output).
         compute_dtype: matmul input dtype (f32 default; bf16 for speed).
         interpret: force Pallas interpreter (defaults to auto: interpreter
             off-TPU so tests run on CPU).
@@ -695,7 +745,11 @@ def classic_mlp_pallas(
     # the kernel (measured: 365k -> 381k train rays/s, 229k -> 255k eval
     # rays/s on v5e).
     x2 = x_enc.reshape(-1, x_enc.shape[-1]).astype(compute_dtype)
-    d2 = d_enc.reshape(-1, d_enc.shape[-1]).astype(compute_dtype)
+    d2 = (
+        None
+        if d_enc is None
+        else d_enc.reshape(-1, d_enc.shape[-1]).astype(compute_dtype)
+    )
     packed = pack_classic_params(params)
     out = _fused_core(packed, x2, d2, compute_dtype, interpret)
     cols = out.shape[-1]
@@ -737,6 +791,12 @@ def classic_pointmlp_pallas(
     Returns:
         ``(density [..., 1], color_logits [..., C])``.
     """
+    if "block_2" not in params:
+        raise ValueError(
+            "classic_pointmlp_pallas covers the view-conditioned "
+            "architecture only; use classic_mlp_pallas(x_enc, None) for "
+            "use_viewdirs=False"
+        )
     if interpret is None:
         interpret = _interpret_default()
     lead = points.shape[:-1]

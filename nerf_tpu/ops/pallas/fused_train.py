@@ -52,7 +52,7 @@ Reference behavior covered: ``/root/reference/nerf/model.py:437-469``
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,15 +60,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nerf_tpu.ops.pallas.fused_mlp import (
-    _PACK_ORDER,
     _VMEM_LIMIT,
     _bwd_slice,
     _forward_chain,
     _full_spec,
     _interpret_default,
+    _pack_order,
     _tile_spec,
-    NUM_HH,
-    NUM_LAYERS,
     pack_classic_params,
 )
 
@@ -191,26 +189,30 @@ _AUX_WIDTH_BASE = 2  # dist + noise; pixels follow
 
 
 def _train_kernel(*refs, compute_dtype, num_samples, g_scale,
-                  white_background, emit_weights):
-    (x_ref, d_ref, aux_ref) = refs[0:3]
-    w = dict(zip(_PACK_ORDER, refs[3 : 3 + len(_PACK_ORDER)]))
-    outs = refs[3 + len(_PACK_ORDER) :]
-    (loss_ref, dw0_ref, dwx_ref, dwdin_ref, dwhh_ref, db_ref, dg_ref,
-     dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref) = outs[:12]
-    w_out_ref = outs[12] if emit_weights else None
-    flat_refs = {
-        "w0": dw0_ref, "wx": dwx_ref, "wd_in": dwdin_ref,
-        "w_dens": dwdens_ref, "b_dens": dbdens_ref,
-        "w_col": dwcol_ref, "b_col": dbcol_ref,
-    }
-    w = {k: v[:] for k, v in w.items()}
+                  white_background, emit_weights, has_view=True):
+    x_ref = refs[0]
+    d_ref = refs[1] if has_view else None
+    k = 2 if has_view else 1
+    aux_ref = refs[k]
+    order = _pack_order(has_view)
+    w = dict(zip(order, refs[k + 1 : k + 1 + len(order)]))
+    outs = list(refs[k + 1 + len(order) :])
+    loss_ref = outs.pop(0)
+    grad_refs = dict(zip(order, outs))
+    w_out_ref = outs[len(order)] if emit_weights else None
+    (dwhh_ref, db_ref, dg_ref, dbeta_ref) = (
+        grad_refs.pop("whh"), grad_refs.pop("b"), grad_refs.pop("g"),
+        grad_refs.pop("beta"),
+    )
+    flat_refs = grad_refs  # the non-stacked weight-grad refs, by name
+    w = {k2: v[:] for k2, v in w.items()}
     dt = compute_dtype
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         loss_ref[...] = jnp.zeros_like(loss_ref)
-        for ref in (dw0_ref, dwx_ref, dwdin_ref, dwhh_ref, db_ref, dg_ref,
-                    dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref):
+        for ref in (*flat_refs.values(), dwhh_ref, db_ref, dg_ref,
+                    dbeta_ref):
             ref[...] = jnp.zeros_like(ref)
 
     tile = x_ref.shape[0]
@@ -220,7 +222,8 @@ def _train_kernel(*refs, compute_dtype, num_samples, g_scale,
     loss_sum = jnp.zeros((1, 1), jnp.float32)
     for s in range(_SPLITS):
         sl = slice(s * rows, (s + 1) * rows)
-        x, d = x_ref[sl, :], d_ref[sl, :]
+        x = x_ref[sl, :]
+        d = d_ref[sl, :] if has_view else None
         aux = aux_ref[sl, :]
 
         # Forward with the activation chain kept VMEM-resident ...
@@ -249,11 +252,11 @@ def _train_kernel(*refs, compute_dtype, num_samples, g_scale,
     loss_ref[...] += loss_sum
     for name, ref in flat_refs.items():
         ref[...] += acc[name]
-    for i in range(NUM_LAYERS):
+    for i in range(w["b"].shape[0]):
         db_ref[i, :] += acc["b"][i]
         dg_ref[i, :] += acc["g"][i]
         dbeta_ref[i, :] += acc["beta"][i]
-    for j in range(NUM_HH):
+    for j in range(w["whh"].shape[0]):
         dwhh_ref[j, :, :] += acc["whh"][j]
 
 
@@ -276,7 +279,7 @@ def _pick_tile(total_points: int, num_samples: int) -> int:
 def classic_train_grads_pallas(
     params: Dict[str, Any],
     x_enc: Array,
-    d_enc: Array,
+    d_enc: Optional[Array],
     dists: Array,
     noise: Array,
     pixels: Array,
@@ -292,7 +295,8 @@ def classic_train_grads_pallas(
     Args:
         params: ClassicNeRF pytree (``models/mlp.py`` layout).
         x_enc: ``[rays, S, XE]`` encoded positions.
-        d_enc: ``[rays, S, DE]`` encoded directions.
+        d_enc: ``[rays, S, DE]`` encoded directions, or ``None`` for the
+            ``use_viewdirs=False`` architecture.
         dists: ``[rays, S, 1]`` compositing interval lengths
             (``compositing.distances_from_tvals``).
         noise: ``[rays, S]`` pre-drawn density-logit noise (zeros when
@@ -315,15 +319,21 @@ def classic_train_grads_pallas(
     """
     if interpret is None:
         interpret = _interpret_default()
+    has_view = d_enc is not None
+    order = _pack_order(has_view)
     n_rays = x_enc.shape[0]
     cols = pixels.shape[-1]
-    xe, de = x_enc.shape[-1], d_enc.shape[-1]
+    xe = x_enc.shape[-1]
     total = n_rays * num_samples
     tile = _pick_tile(total, num_samples)
     grid = total // tile
 
     x2 = x_enc.reshape(total, xe).astype(compute_dtype)
-    d2 = d_enc.reshape(total, de).astype(compute_dtype)
+    d_ops, d_specs = (), ()
+    if has_view:
+        de = d_enc.shape[-1]
+        d_ops = (d_enc.reshape(total, de).astype(compute_dtype),)
+        d_specs = (_tile_spec(tile, de),)
     # Pack the per-row SCALARS into one lane-padded array (module
     # docstring): [dist, noise, pixel broadcast over the ray's rows].
     # (Packing the encodings in too was measured SLOWER — the pre-cast
@@ -336,30 +346,19 @@ def classic_train_grads_pallas(
     ).reshape(total, _AUX_WIDTH_BASE + cols)
 
     packed = pack_classic_params(params)
-    weights = [packed[k] for k in _PACK_ORDER]
-    wshapes = {k: packed[k].shape for k in _PACK_ORDER}
+    weights = [packed[k] for k in order]
 
     out_shapes = [
         jax.ShapeDtypeStruct((1, 1), jnp.float32),  # loss accumulator
-        jax.ShapeDtypeStruct(wshapes["w0"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["wx"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["wd_in"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["whh"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["b"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["g"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["beta"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["w_dens"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["b_dens"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["w_col"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["b_col"], jnp.float32),
-    ]
+    ] + [jax.ShapeDtypeStruct(packed[k].shape, jnp.float32) for k in order]
+    n_grad_outs = len(out_shapes)
     if return_weights:
         # [total, 1] is the 128x lane-padded shape this module's docstring
         # warns about (~67 MB padded write at 2048x64) — one of the reasons
         # the two-stage hierarchical trainer measures slower than the
         # general reuse path; acceptable for the coarse stage only.
         out_shapes.append(jax.ShapeDtypeStruct((total, 1), jnp.float32))
-    out_specs = [_full_spec(s.shape) for s in out_shapes[:12]]
+    out_specs = [_full_spec(s.shape) for s in out_shapes[:n_grad_outs]]
     if return_weights:
         out_specs.append(_tile_spec(tile, 1))
 
@@ -371,25 +370,26 @@ def classic_train_grads_pallas(
             g_scale=loss_weight * 2.0 / (cols * n_rays),
             white_background=white_background,
             emit_weights=return_weights,
+            has_view=has_view,
         ),
         out_shape=out_shapes,
         grid=(grid,),
         in_specs=[
             _tile_spec(tile, xe),
-            _tile_spec(tile, de),
+            *d_specs,
             _tile_spec(tile, _AUX_WIDTH_BASE + cols),
             *[_full_spec(w.shape) for w in weights],
         ],
         out_specs=out_specs,
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(x2, d2, aux, *weights)
+    )(x2, *d_ops, aux, *weights)
 
     loss = loss_weight * outs[0][0, 0] / n_rays
-    packed_grads = dict(zip(_PACK_ORDER, outs[1:12]))
+    packed_grads = dict(zip(order, outs[1:n_grad_outs]))
     grads = unpack_classic_grads(packed_grads, params)
     if return_weights:
-        return loss, grads, outs[12].reshape(n_rays, num_samples)
+        return loss, grads, outs[n_grad_outs].reshape(n_rays, num_samples)
     return loss, grads
 
 
@@ -411,14 +411,15 @@ def unpack_classic_grads(
     block_1 = [
         layer(4, jnp.concatenate([g["whh"][3], g["wx"]], axis=0))
     ] + [layer(i, g["whh"][i - 1]) for i in (5, 6, 7)]
-    block_2 = [
-        layer(8, jnp.concatenate([g["whh"][7], g["wd_in"]], axis=0)),
-        layer(9, g["whh"][8]),
-    ]
-    return {
+    out = {
         "block_0": block_0,
         "block_1": block_1,
-        "block_2": block_2,
         "density": {"w": g["w_dens"], "b": g["b_dens"].reshape(-1)},
         "color": {"w": g["w_col"], "b": g["b_col"].reshape(-1)},
     }
+    if "wd_in" in g:  # view-conditioned architecture
+        out["block_2"] = [
+            layer(8, jnp.concatenate([g["whh"][7], g["wd_in"]], axis=0)),
+            layer(9, g["whh"][8]),
+        ]
+    return out

@@ -10,6 +10,7 @@ from nerf_tpu.parallel.mesh import (
 from nerf_tpu.parallel.train import (
     make_parallel_train_step,
     make_parallel_sampling_train_step,
+    make_parallel_multi_step_train_fn,
     make_parallel_render,
     prepare_parallel_state,
     render_image_sharded,

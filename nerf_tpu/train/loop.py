@@ -223,18 +223,25 @@ def evaluate(
 
 def supports_fused_train(model, render: RenderConfig, bank=None) -> bool:
     """True when the fully-fused train path covers this configuration
-    (the reference architecture family, no latent conditioning)."""
+    (the reference architecture family — with or without view dirs, with
+    or without latent conditioning; latents just widen the encodings)."""
     from nerf_tpu.config import ClassicNeRFConfig
     from nerf_tpu.ops.pallas import fused_mlp
 
+    del bank  # latent-conditioned banks are covered
     cfg = getattr(model, "cfg", None)
     if not isinstance(cfg, ClassicNeRFConfig):
         return False
     if not fused_mlp.supports_classic_config(cfg):
         return False
-    if bank is not None and (
-        bank.states_x is not None or bank.states_d is not None
+    if (
+        render is not None
+        and render.num_fine_samples > 0
+        and render.reuse_coarse_in_fine
+        and not cfg.use_viewdirs
     ):
+        # The fused hierarchical-reuse kernel (fused_hier) covers the
+        # view-conditioned architecture only.
         return False
     return True
 
@@ -269,8 +276,9 @@ def make_fused_loss_and_grads(
     if not supports_fused_train(model, render):
         raise ValueError(
             "fused train path requires the reference architecture family "
-            "(ClassicNeRF, trunk_blocks=(4,4), view_branch_depth=2, "
-            "use_viewdirs); latent conditioning is not supported"
+            "(ClassicNeRF, trunk_blocks=(4,4), and view_branch_depth=2 "
+            "when use_viewdirs; the hierarchical-reuse formulation "
+            "additionally requires use_viewdirs)"
         )
     cfg = model.cfg
     hierarchical = render.num_fine_samples > 0
@@ -293,17 +301,31 @@ def make_fused_loss_and_grads(
             batch["rays_o"][:, None, :]
             + batch["rays_d"][:, None, :] * t_vals[..., None]
         )
+
+        def flat_states(st):
+            # Per-ray latents expanded to the flattened per-point rows.
+            if st is None or st.shape[-1] == 0:
+                return None
+            return jnp.broadcast_to(
+                st[:, None, :], (n_rays, s, st.shape[-1])
+            ).reshape(-1, st.shape[-1])
+
         # Encode on flattened points: gradients don't flow through the
         # encodings here (the kernel returns param grads directly), and the
         # flat shape lets the sine fusion write the kernel's row-major
         # layout directly (measured ~+1% vs encoding in [B, S, .]).
-        dirs = jnp.broadcast_to(batch["rays_d"][:, None, :], points.shape)
-        x_enc = model.encode_position(points.reshape(-1, 3)).reshape(
-            n_rays, s, -1
-        )
-        d_enc = model.encode_direction(dirs.reshape(-1, 3)).reshape(
-            n_rays, s, -1
-        )
+        x_enc = model.encode_position(
+            points.reshape(-1, 3), flat_states(batch.get("states_x"))
+        ).reshape(n_rays, s, -1)
+        if cfg.use_viewdirs:
+            dirs = jnp.broadcast_to(
+                batch["rays_d"][:, None, :], points.shape
+            )
+            d_enc = model.encode_direction(
+                dirs.reshape(-1, 3), flat_states(batch.get("states_d"))
+            ).reshape(n_rays, s, -1)
+        else:
+            d_enc = None
         if render.density_noise_std > 0.0 and k_noise is not None:
             # Dense [B, S] draw: same values as render_rays' [B, S, 1]
             # (counter-based PRNG), but the [N, 1] shape runs threefry in
@@ -396,13 +418,10 @@ def make_fused_multi_step_train_fn(
     from ``make_fused_loss_and_grads`` (see its docstring for the three
     fused formulations) — no forward rematerialization in the fused
     stages, no kernel-boundary HBM round-trips for density/color.
-    Latent-conditioned training uses the general path.
+    Latent-conditioned banks are covered (the states widen the encodings
+    before the kernel boundary).
     """
     loss_and_grads = make_fused_loss_and_grads(model, render)
-    if bank.states_x is not None or bank.states_d is not None:
-        raise ValueError(
-            "fused train step does not take latent conditioning"
-        )
 
     def one_step(state: TrainState, _):
         key = fold_key(state)

@@ -357,6 +357,114 @@ class TestFusedHierarchicalReuse:
         )
 
 
+class TestFusedConfigVariants:
+    """The fused kernels cover the remaining BASELINE configs: the
+    ``use_viewdirs=False`` architecture (no view branch — the color head
+    reads the trunk output) and latent-conditioned ("conditional NeRF")
+    models, whose per-ray states widen the encodings before the kernel
+    boundary (``train_conditional_nerf.py:103-104`` semantics)."""
+
+    def _run_pair(self, bank, model, render, steps=4, batch=32):
+        opt = optax.adam(1e-3)
+        runs = {}
+        for name, maker in (
+            ("general", make_multi_step_train_fn),
+            ("fused", make_fused_multi_step_train_fn),
+        ):
+            run = maker(model, opt, render, bank, batch, steps)
+            state = create_train_state(
+                model.init(jax.random.PRNGKey(0)), opt
+            )
+            state, aux = run(state)
+            runs[name] = np.asarray(jax.device_get(aux["loss"]))
+        np.testing.assert_allclose(
+            runs["fused"][0], runs["general"][0], rtol=5e-4
+        )
+        np.testing.assert_allclose(runs["fused"], runs["general"], rtol=5e-2)
+
+    def _latent_bank(self, scene, kx=2, kd=1):
+        rng = np.random.default_rng(7)
+        b = scene.images.shape[0]
+        return RayBank.from_images(
+            scene.images, scene.pose_o, scene.pose_r, scene.focal,
+            states_x=rng.normal(size=(b, kx)).astype(np.float32),
+            states_d=rng.normal(size=(b, kd)).astype(np.float32),
+        )
+
+    def test_no_viewdirs_coarse_matches_general(self, bank):
+        model = ClassicNeRF(
+            ClassicNeRFConfig(
+                normalize_position=6.0, use_viewdirs=False,
+                use_pallas=False,
+            )
+        )
+        render = RenderConfig(num_coarse_samples=8, near=2.0, far=6.0,
+                              randomly_sample=True, density_noise_std=0.5)
+        self._run_pair(bank, model, render)
+
+    def test_no_viewdirs_hierarchical_reevaluate(self, bank):
+        model = ClassicNeRF(
+            ClassicNeRFConfig(
+                normalize_position=6.0, use_viewdirs=False,
+                use_pallas=False,
+            )
+        )
+        render = RenderConfig(num_coarse_samples=8, num_fine_samples=8,
+                              near=2.0, far=6.0, randomly_sample=True,
+                              density_noise_std=0.5,
+                              reuse_coarse_in_fine=False)
+        self._run_pair(bank, model, render)
+
+    def test_no_viewdirs_hier_reuse_not_fused(self):
+        # fused_hier covers the view-conditioned architecture only; the
+        # gate must route this config to the general trainer.
+        from nerf_tpu.train.loop import supports_fused_train
+
+        model = ClassicNeRF(
+            ClassicNeRFConfig(normalize_position=6.0, use_viewdirs=False)
+        )
+        hier_reuse = RenderConfig(num_coarse_samples=8, num_fine_samples=8,
+                                  reuse_coarse_in_fine=True)
+        assert not supports_fused_train(model, hier_reuse)
+        assert supports_fused_train(
+            model, RenderConfig(num_coarse_samples=8)
+        )
+
+    def test_latent_conditioned_coarse_matches_general(self, scene):
+        bank = self._latent_bank(scene)
+        model = ClassicNeRF(
+            ClassicNeRFConfig(
+                normalize_position=6.0, density_inputs=5, color_inputs=4,
+                use_pallas=False,
+            )
+        )
+        render = RenderConfig(num_coarse_samples=8, near=2.0, far=6.0,
+                              randomly_sample=True, density_noise_std=0.5)
+        self._run_pair(bank, model, render)
+
+    def test_latent_conditioned_hier_reuse_matches_general(self, scene):
+        # Exercises fused_hier with widened (latent) encodings.
+        from nerf_tpu.ops.pallas import fused_mlp
+
+        prev = fused_mlp._LN_STATS
+        fused_mlp._LN_STATS = "twopass"
+        try:
+            bank = self._latent_bank(scene)
+            model = ClassicNeRF(
+                ClassicNeRFConfig(
+                    normalize_position=6.0, density_inputs=5,
+                    color_inputs=4, use_pallas=False,
+                )
+            )
+            render = RenderConfig(num_coarse_samples=8, num_fine_samples=8,
+                                  near=2.0, far=6.0, randomly_sample=True,
+                                  density_noise_std=0.5,
+                                  reuse_coarse_in_fine=True)
+            self._run_pair(bank, model, render)
+        finally:
+            fused_mlp._LN_STATS = prev
+
+
 class TestSegmentedLadders:
     def test_prefix_suffix_match_numpy_for_odd_sample_counts(self):
         # The Hillis-Steele doubling with pos-guards must be exact for any
