@@ -112,20 +112,15 @@ class ClassicNeRF:
 
     # -- core evaluation ---------------------------------------------------
 
-    def forward(
+    def _encode_inputs(
         self,
-        params: Params,
         rays_o: Array,
         rays_d: Array,
         t_vals: Array,
-        states_x: Optional[Array] = None,
-        states_d: Optional[Array] = None,
-    ) -> Tuple[Array, Array, Array]:
-        """Evaluate density/color at ``o + t*d`` for every sample.
-
-        Returns ``(points [..., S, 3], density [..., S, 1],
-        color_logits [..., S, C])``.
-        """
+        states_x: Optional[Array],
+        states_d: Optional[Array],
+    ) -> Tuple[Array, Array, Optional[Array]]:
+        """Sample points + their (position, direction) encodings."""
         points = (
             rays_o[..., None, :] + rays_d[..., None, :] * t_vals[..., :, None]
         )
@@ -140,6 +135,25 @@ class ClassicNeRF:
                 dirs,
                 None if states_d is None else states_d[..., None, :],
             )
+        return points, x_enc, d_enc
+
+    def forward(
+        self,
+        params: Params,
+        rays_o: Array,
+        rays_d: Array,
+        t_vals: Array,
+        states_x: Optional[Array] = None,
+        states_d: Optional[Array] = None,
+    ) -> Tuple[Array, Array, Array]:
+        """Evaluate density/color at ``o + t*d`` for every sample.
+
+        Returns ``(points [..., S, 3], density [..., S, 1],
+        color_logits [..., S, C])``.
+        """
+        points, x_enc, d_enc = self._encode_inputs(
+            rays_o, rays_d, t_vals, states_x, states_d
+        )
         if self.cfg.use_pallas:
             from nerf_tpu.ops.pallas import fused_mlp
 
@@ -181,6 +195,22 @@ class ClassicNeRF:
         depth = compositing.composite_depth(weights, t_vals)
         return rgb, weights, depth, density, color
 
+    def _use_fused_union(self, render: RenderConfig, rays_o: Array) -> bool:
+        """Gate for the fused union-compositing eval kernel: deterministic
+        (no density noise — eval renders), view-conditioned reference
+        architecture, flat ray batch.  The kernel is forward-only (no VJP),
+        so callers additionally opt in via ``render_rays(fused_eval=True)``
+        — ``render_image`` does; differentiable paths must not."""
+        from nerf_tpu.ops.pallas import fused_mlp
+
+        return (
+            self.cfg.use_pallas
+            and self.cfg.use_viewdirs
+            and fused_mlp.supports_classic_config(self.cfg)
+            and render.density_noise_std == 0.0
+            and rays_o.ndim == 2
+        )
+
     def render_rays(
         self,
         params: Params,
@@ -190,10 +220,15 @@ class ClassicNeRF:
         render: RenderConfig,
         states_x: Optional[Array] = None,
         states_d: Optional[Array] = None,
+        fused_eval: bool = False,
     ) -> RenderOutput:
         """Render a batch of rays: stratified coarse pass plus optional
         inverse-CDF hierarchical fine pass (shared weights across stages, as
         the single unprefixed block set in ``examples/nerf.pth`` implies).
+
+        ``fused_eval=True`` opts eval callers into the forward-only fused
+        union-compositing kernel (``_use_fused_union``); training paths that
+        differentiate through ``render_rays`` must leave it off.
         """
         if key is not None:
             k_strat, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
@@ -218,6 +253,7 @@ class ClassicNeRF:
 
         stages = [rgb_c]
         weights, t_vals, depth = weights_c, t_coarse, depth_c
+        acc = None  # None => composite_acc(weights) at return
 
         if render.num_fine_samples > 0:
             t_mids = 0.5 * (t_coarse[..., 1:] + t_coarse[..., :-1])
@@ -229,7 +265,44 @@ class ClassicNeRF:
                 render.num_fine_samples,
                 randomly_sample=render.randomly_sample,
             )
-            if render.reuse_coarse_in_fine:
+            if (
+                fused_eval
+                and render.reuse_coarse_in_fine
+                and self._use_fused_union(render, rays_o)
+            ):
+                # Deterministic eval fast path: fine MLP + the order-free
+                # union compositing in ONE Pallas kernel
+                # (ops/pallas/fused_hier.py::fine_union_eval_pallas) — no
+                # [.., S, S] transmittance masks in HBM, no per-point
+                # density/color kernel-boundary round trip.
+                from nerf_tpu.ops.pallas import fused_hier
+
+                t_cat = jnp.concatenate([t_coarse, t_fine], axis=-1)
+                dists_u = compositing.unsorted_dists(t_cat, rays_d)
+                pre = fused_hier.coarse_union_precompute(
+                    density_c, color_c, t_coarse, t_fine,
+                    dists_u[..., : render.num_coarse_samples, 0],
+                )
+                _, xf_enc, df_enc = self._encode_inputs(
+                    rays_o, rays_d, t_fine, states_x, states_d
+                )
+                rgb_f, depth_f, acc_f = fused_hier.fine_union_eval_pallas(
+                    params,
+                    xf_enc,
+                    df_enc,
+                    t_coarse,
+                    t_fine,
+                    dists_u[..., render.num_coarse_samples :, 0],
+                    jnp.zeros_like(t_fine),
+                    *pre,
+                    compute_dtype=jnp.dtype(self.cfg.compute_dtype),
+                )
+                if render.white_background:
+                    rgb_f = rgb_f + (1.0 - acc_f[..., None])
+                acc = acc_f
+                t_all = t_cat
+                weights_f = None
+            elif render.reuse_coarse_in_fine:
                 # Disjoint-stage fine pass: the network runs only on the
                 # NEW fine samples; the coarse evaluations (density noise
                 # included) are reused, and the union is composited
@@ -265,10 +338,12 @@ class ClassicNeRF:
             stages.append(rgb_f)
             weights, t_vals, depth = weights_f, t_all, depth_f
 
+        if acc is None:
+            acc = compositing.composite_acc(weights)
         return RenderOutput(
             rgb=jnp.stack(stages, axis=-2),
             depth=depth,
-            acc=compositing.composite_acc(weights),
+            acc=acc,
         )
 
     def render_image(
@@ -293,7 +368,8 @@ class ClassicNeRF:
         def per_tile(args):
             tile_o, tile_d, tile_sx, tile_sd, tile_key = args
             out = self.render_rays(
-                params, tile_key, tile_o, tile_d, render, tile_sx, tile_sd
+                params, tile_key, tile_o, tile_d, render, tile_sx, tile_sd,
+                fused_eval=True,
             )
             return out.rgb[..., -1, :]
 

@@ -318,6 +318,188 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         dwhh_ref[j, :, :] += acc["whh"][j]
 
 
+# Eval kernel output lanes per fine row: [rgb(cols), depth, acc].
+
+
+def _hier_eval_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, splits):
+    """Forward-only union compositing: fine MLP + order-free union with the
+    reused coarse block, per-ray [rgb, depth, acc] broadcast to the fine
+    rows.  The forward half of ``_hier_kernel`` — same chip-proven mask
+    and ladder constructs — with no chain retention and no backward."""
+    (xf_ref, df_ref, auxf_ref, auxc_ref, tfrow_ref, tcrow_ref,
+     ridfrow_ref, ridcrow_ref) = refs[0:8]
+    w = dict(zip(_PACK_ORDER, refs[8 : 8 + len(_PACK_ORDER)]))
+    out_ref = refs[8 + len(_PACK_ORDER)]
+    w = {k: v[:] for k, v in w.items()}
+    dt = compute_dtype
+
+    tile_f = xf_ref.shape[0]
+    rows_f = tile_f // splits
+    rays_sl = rows_f // s_fine
+    rows_c = rays_sl * s_coarse
+    pos_f = jax.lax.broadcasted_iota(jnp.int32, (rows_f, 1), 0) % s_fine
+    pos_c = jax.lax.broadcasted_iota(jnp.int32, (rows_c, 1), 0) % s_coarse
+
+    for s in range(splits):
+        fsl = slice(s * rows_f, (s + 1) * rows_f)
+        csl = slice(s * rows_c, (s + 1) * rows_c)
+        x, d = xf_ref[fsl, :], df_ref[fsl, :]
+        auxf = auxf_ref[fsl, :]
+        auxc = auxc_ref[csl, :]
+        t_f = auxf[:, 0:1]
+        dist_f = auxf[:, 1:2]
+        noise = auxf[:, 2:3]
+        cross_c = auxf[:, 3:4]
+        rid_f = auxf[:, 4:5]
+        # sig_c leads the coarse lanes (Mosaic lane-offset rule — see
+        # _hier_kernel).
+        sig_c = auxc[:, 0:cols]
+        t_c = auxc[:, cols : cols + 1]
+        alpha_c = auxc[:, cols + 1 : cols + 2]
+        pref_c = auxc[:, cols + 2 : cols + 3]
+        rid_c = auxc[:, cols + 3 : cols + 4]
+        t_f_row = tfrow_ref[:, fsl]
+        t_c_row = tcrow_ref[:, csl]
+        rid_f_row = ridfrow_ref[:, fsl]
+        rid_c_row = ridcrow_ref[:, csl]
+        same_cf = (rid_f_row < rid_c + 0.5).astype(jnp.float32) * (
+            (rid_c - 0.5) < rid_f_row
+        ).astype(jnp.float32)
+        same_fc = (rid_c_row < rid_f + 0.5).astype(jnp.float32) * (
+            (rid_f - 0.5) < rid_c_row
+        ).astype(jnp.float32)
+
+        _, dens_raw, col = _forward_chain(x, d, w, dt)
+        dens = dens_raw + noise
+        alpha_f = jnp.exp(-jnp.maximum(dens, 0.0) * dist_f)
+        log_af = jnp.log(alpha_f + 1e-10)
+        pref_f = _seg_exclusive_prefix(log_af, pos_f, s_fine)
+        t_fine_full = jnp.exp(cross_c + pref_f)
+        w_f = (1.0 - alpha_f) * t_fine_full
+        sig_f = jax.nn.sigmoid(col)
+
+        m_cf = same_cf * (t_f_row < t_c).astype(jnp.float32)
+        cross_f = _dot_exact(m_cf, log_af)
+        t_coarse_full = jnp.exp(pref_c + cross_f)
+        w_c = (1.0 - alpha_c) * t_coarse_full
+
+        rgb = _seg_total(w_f * sig_f, pos_f, s_fine) + _dot_exact(
+            same_fc, w_c * sig_c
+        )
+        depth = _seg_total(w_f * t_f, pos_f, s_fine) + _dot_exact(
+            same_fc, w_c * t_c
+        )
+        acc = _seg_total(w_f, pos_f, s_fine) + _dot_exact(same_fc, w_c)
+        out_ref[fsl, 0:cols] = rgb
+        out_ref[fsl, cols : cols + 1] = depth
+        out_ref[fsl, cols + 1 : cols + 2] = acc
+
+
+def fine_union_eval_pallas(
+    params: Dict[str, Any],
+    x_enc: Array,
+    d_enc: Array,
+    t_coarse: Array,
+    t_fine: Array,
+    dist_f: Array,
+    noise_f: Array,
+    alpha_c: Array,
+    pref_own: Array,
+    cross_c: Array,
+    sig_c: Array,
+    compute_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> Tuple[Array, Array, Array]:
+    """Forward-only fused fine stage for the hierarchical reuse renderer.
+
+    Same inputs as ``fine_stage_train_pallas`` minus the pixels (no loss):
+    fine MLP + order-free union compositing with the reused coarse block
+    in ONE kernel, replacing the eval path's two-kernel MLP plus the XLA
+    ``weights_from_unsorted`` O(S^2) transmittance (whose [B, S, S] masks
+    dominate eval HBM traffic at 64+128).
+
+    Returns ``(rgb [B, C], depth [B], acc [B])`` over the union.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n_rays, s_fine = t_fine.shape[0], t_fine.shape[-1]
+    s_coarse = t_coarse.shape[-1]
+    cols = sig_c.shape[-1]
+    xe, de = x_enc.shape[-1], d_enc.shape[-1]
+    total_f = n_rays * s_fine
+    total_c = n_rays * s_coarse
+    r, splits = _pick_tiling(n_rays, s_fine, interpret)
+    grid = n_rays // r
+    tile_f, tile_c = r * s_fine, r * s_coarse
+
+    x2 = x_enc.reshape(total_f, xe).astype(compute_dtype)
+    d2 = d_enc.reshape(total_f, de).astype(compute_dtype)
+    ray_ids = jnp.arange(n_rays, dtype=jnp.float32)
+    rid_f = jnp.broadcast_to(ray_ids[:, None], (n_rays, s_fine))
+    rid_c = jnp.broadcast_to(ray_ids[:, None], (n_rays, s_coarse))
+    aux_f = jnp.concatenate(
+        [
+            t_fine[..., None],
+            dist_f[..., None],
+            noise_f[..., None],
+            cross_c[..., None],
+            rid_f[..., None],
+        ],
+        axis=-1,
+    ).reshape(total_f, 5)
+    aux_c = jnp.concatenate(
+        [
+            sig_c,
+            t_coarse[..., None],
+            alpha_c[..., None],
+            pref_own[..., None],
+            rid_c[..., None],
+        ],
+        axis=-1,
+    ).reshape(total_c, cols + 4)
+    tf_row = t_fine.reshape(1, total_f)
+    tc_row = t_coarse.reshape(1, total_c)
+    ridf_row = rid_f.reshape(1, total_f)
+    ridc_row = rid_c.reshape(1, total_c)
+
+    packed = pack_classic_params(params)
+    weights = [packed[k] for k in _PACK_ORDER]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _hier_eval_kernel,
+            compute_dtype=compute_dtype,
+            s_coarse=s_coarse,
+            s_fine=s_fine,
+            cols=cols,
+            splits=splits,
+        ),
+        out_shape=jax.ShapeDtypeStruct((total_f, cols + 2), jnp.float32),
+        grid=(grid,),
+        in_specs=[
+            _tile_spec(tile_f, xe),
+            _tile_spec(tile_f, de),
+            _tile_spec(tile_f, 5),
+            _tile_spec(tile_c, cols + 4),
+            pl.BlockSpec((1, tile_f), lambda i: (0, i)),
+            pl.BlockSpec((1, tile_c), lambda i: (0, i)),
+            pl.BlockSpec((1, tile_f), lambda i: (0, i)),
+            pl.BlockSpec((1, tile_c), lambda i: (0, i)),
+            *[_full_spec(wt.shape) for wt in weights],
+        ],
+        out_specs=_tile_spec(tile_f, cols + 2),
+        interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
+    )(x2, d2, aux_f, aux_c, tf_row, tc_row, ridf_row, ridc_row, *weights)
+
+    per_ray = out.reshape(n_rays, s_fine, cols + 2)[:, 0, :]
+    return (
+        per_ray[:, :cols],
+        per_ray[:, cols],
+        per_ray[:, cols + 1],
+    )
+
+
 def _pick_tiling(n_rays: int, s_fine: int, interpret: bool) -> Tuple[int, int]:
     """Rays per tile + slice count: whole rays per slice, 128-lane-aligned
     slice boundaries on hardware (the t-row inputs are lane-sliced)."""
