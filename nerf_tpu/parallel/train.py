@@ -216,7 +216,9 @@ def make_parallel_multi_step_train_fn(
     if fused:
         from nerf_tpu.train.loop import make_fused_loss_and_grads
 
-        loss_and_grads = make_fused_loss_and_grads(model, render)
+        loss_and_grads = make_fused_loss_and_grads(
+            model, render, segmentation_loss_weight
+        )
 
         def local_value_and_grad(params, key, batch):
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))

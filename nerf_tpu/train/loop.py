@@ -223,13 +223,16 @@ def evaluate(
 
 def supports_fused_train(model, render: RenderConfig, bank=None) -> bool:
     """True when the fully-fused train path covers this configuration
-    (the reference architecture family — with or without view dirs, with
-    or without latent conditioning; latents just widen the encodings)."""
-    from nerf_tpu.config import ClassicNeRFConfig
-    from nerf_tpu.ops.pallas import fused_mlp
+    (both model families: the classic architectures — with or without view
+    dirs / latent conditioning — and the HEAD mip model including its
+    segmentation CE)."""
+    from nerf_tpu.config import ClassicNeRFConfig, MipNeRFConfig
+    from nerf_tpu.ops.pallas import fused_mip_mlp, fused_mlp
 
     del bank  # latent-conditioned banks are covered
     cfg = getattr(model, "cfg", None)
+    if isinstance(cfg, MipNeRFConfig):
+        return fused_mip_mlp.supports_mip_config(cfg)
     if not isinstance(cfg, ClassicNeRFConfig):
         return False
     if not fused_mlp.supports_classic_config(cfg):
@@ -247,12 +250,16 @@ def supports_fused_train(model, render: RenderConfig, bank=None) -> bool:
 
 
 def make_fused_loss_and_grads(
-    model, render: RenderConfig
+    model, render: RenderConfig, segmentation_loss_weight: float = 0.0
 ) -> Callable[[Any, jax.Array, Dict[str, Array]], Tuple[Array, Any, Dict]]:
     """Build ``fn(params, key, batch) -> (loss, grads, aux)`` with every
-    MLP evaluation fused (the fastest path for the classic family).
+    MLP evaluation fused (the fastest path for both model families).
 
-    Dispatches on the render config:
+    Dispatches on the model family and render config:
+
+    * HEAD mip model: forward + compositing + MSE + log-space segmentation
+      CE + backward in ONE Pallas call
+      (``ops/pallas/fused_mip_train.py``) — no custom VJP, no recompute;
 
     * coarse-only: forward + compositing + MSE + backward in ONE Pallas
       call (``ops/pallas/fused_train.py``) — no forward rematerialization,
@@ -270,6 +277,7 @@ def make_fused_loss_and_grads(
     general path to float tolerance.  Grads flow only to params (sample
     positions carry no parameter dependence in training).
     """
+    from nerf_tpu.config import MipNeRFConfig
     from nerf_tpu.ops import compositing, sampling
     from nerf_tpu.ops.pallas import fused_hier, fused_train
 
@@ -278,9 +286,19 @@ def make_fused_loss_and_grads(
             "fused train path requires the reference architecture family "
             "(ClassicNeRF, trunk_blocks=(4,4), and view_branch_depth=2 "
             "when use_viewdirs; the hierarchical-reuse formulation "
-            "additionally requires use_viewdirs)"
+            "additionally requires use_viewdirs) or the HEAD MipNeRF"
         )
     cfg = model.cfg
+    if isinstance(cfg, MipNeRFConfig):
+        from nerf_tpu.ops.pallas import fused_mip_train
+
+        def mip_fn(params, key, batch):
+            return fused_mip_train.mip_train_loss_and_grads(
+                model, params, render, batch, key,
+                seg_weight=segmentation_loss_weight,
+            )
+
+        return mip_fn
     hierarchical = render.num_fine_samples > 0
     use_reuse = hierarchical and render.reuse_coarse_in_fine
     dtype = jnp.dtype(cfg.compute_dtype)
@@ -411,17 +429,20 @@ def make_fused_multi_step_train_fn(
     bank: RayBank,
     batch_size: int,
     num_steps: int,
+    segmentation_loss_weight: float = 0.0,
 ) -> Callable[[TrainState], Tuple[TrainState, Dict]]:
     """K-step trainer on the fully-fused train kernels (fastest path).
 
     Like ``make_multi_step_train_fn`` but the per-step loss/gradient comes
-    from ``make_fused_loss_and_grads`` (see its docstring for the three
-    fused formulations) — no forward rematerialization in the fused
+    from ``make_fused_loss_and_grads`` (see its docstring for the fused
+    formulations) — no forward rematerialization in the fused
     stages, no kernel-boundary HBM round-trips for density/color.
     Latent-conditioned banks are covered (the states widen the encodings
     before the kernel boundary).
     """
-    loss_and_grads = make_fused_loss_and_grads(model, render)
+    loss_and_grads = make_fused_loss_and_grads(
+        model, render, segmentation_loss_weight
+    )
 
     def one_step(state: TrainState, _):
         key = fold_key(state)
@@ -504,7 +525,7 @@ class Trainer:
         if fused:
             return make_fused_multi_step_train_fn(
                 self.model, self.optimizer, self.render, bank,
-                cfg.batch_size, num_steps,
+                cfg.batch_size, num_steps, self.seg_weight,
             )
         return make_multi_step_train_fn(
             self.model, self.optimizer, self.render, bank,
@@ -535,8 +556,15 @@ class Trainer:
         state = state if state is not None else self.init_state()
         # Fused is opt-in via cfg.use_pallas (the XLA path stays reachable,
         # and CPU test runs don't silently pay interpret-mode kernels).
+        # The mip fused kernel carries the segmentation CE in-kernel; the
+        # classic family has no segmentation head, so seg_weight gates it.
+        from nerf_tpu.config import MipNeRFConfig
+
         fused = (
-            self.seg_weight == 0.0
+            (
+                self.seg_weight == 0.0
+                or isinstance(self.model.cfg, MipNeRFConfig)
+            )
             and getattr(self.model.cfg, "use_pallas", False)
             and supports_fused_train(self.model, self.render, bank)
         )
