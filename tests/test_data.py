@@ -84,6 +84,93 @@ class TestRayBank:
             batch["pixels"], images.reshape(-1, 3)[flat], rtol=1e-6
         )
 
+    def test_block_stratified_matches_reference_decode(
+        self, reference_nerf, rng
+    ):
+        """Oracle pin of the reference block-id decode semantics
+        (``dataset.py:134-153``): each __getitem__ draws
+        ``num_samples_per_block`` uniform in-block flat indices per block
+        (the [K, nv*nh] multinomial, column b = block b) and decodes them
+        row-major — ``wx = j % hbs + (b % nh) * hbs``,
+        ``hx = j // hbs + (b // nh) * vbs``.  Verified by running the
+        reference and inverting the decode from its outputs; then our
+        ``sample_block_stratified`` is held to the identical contract AND
+        the same within-block uniform distribution."""
+        import torch
+
+        from nerf.dataset import ImageRayDataset
+
+        b, h, w = 2, 16, 16
+        nv = nh = 4
+        vbs, hbs = h // nv, w // nh
+        k = 3
+        images = rng.uniform(size=(b, h, w, 3)).astype(np.float32)
+        pose_o, pose_r = spherical_poses(b, radius=4.0)
+        poses = np.zeros((b, 3, 4), np.float32)
+        poses[:, :3, :3] = np.asarray(pose_r)
+        poses[:, :3, 3] = np.asarray(pose_o)
+        states = np.zeros((b, 1), np.float32)
+
+        ds = ImageRayDataset(
+            torch.as_tensor(images), torch.as_tensor(poses),
+            torch.as_tensor(states), 20.0,
+            num_vertical_blocks=nv, num_horizontal_blocks=nh,
+            num_samples_per_block=k,
+        )
+
+        def ref_inblock(item):
+            """Invert the reference decode: per (sample, block) the
+            recovered in-block flat index must round-trip."""
+            hi = item["image_hi"].numpy()  # [K, nv*nh]
+            wi = item["image_wi"].numpy()
+            assert hi.shape == (k, nv * nh)
+            block = np.arange(nv * nh)
+            bh = (block // nh) * vbs
+            bw = (block % nh) * hbs
+            # Every sample of column b must land inside block b.
+            assert ((hi >= bh) & (hi < bh + vbs)).all()
+            assert ((wi >= bw) & (wi < bw + hbs)).all()
+            return (hi - bh) * hbs + (wi - bw)  # in-block flat index
+
+        torch.manual_seed(0)
+        ref_counts = np.zeros((nv * nh, vbs * hbs), np.int64)
+        for _ in range(200):
+            j = ref_inblock(ds[0])
+            for col in range(nv * nh):
+                ref_counts[col] += np.bincount(
+                    j[:, col], minlength=vbs * hbs
+                )
+
+        got_counts = np.zeros_like(ref_counts)
+        bank = RayBank.from_images(images, pose_o, pose_r, 20.0)
+        for i in range(200):
+            batch = bank.sample_block_stratified(
+                jax.random.PRNGKey(i), jnp.asarray(0),
+                num_vertical_blocks=nv, num_horizontal_blocks=nh,
+                num_samples_per_block=k,
+            )
+            hi = np.asarray(batch["image_hi"]).reshape(k, nv * nh)
+            wi = np.asarray(batch["image_wi"]).reshape(k, nv * nh)
+            block = np.arange(nv * nh)
+            bh, bw = (block // nh) * vbs, (block % nh) * hbs
+            # Identical contract: column b in block b (row-major decode).
+            assert ((hi >= bh) & (hi < bh + vbs)).all()
+            assert ((wi >= bw) & (wi < bw + hbs)).all()
+            j = (hi - bh) * hbs + (wi - bw)
+            for col in range(nv * nh):
+                got_counts[col] += np.bincount(
+                    j[:, col], minlength=vbs * hbs
+                )
+
+        # Same distribution: uniform over the block's pixels.  600 draws
+        # per block over 16 cells -> expect 37.5 per cell; compare both
+        # samplers' per-cell frequencies to uniform AND to each other.
+        n_draws = 200 * k
+        for counts in (ref_counts, got_counts):
+            freq = counts / n_draws
+            assert np.abs(freq - 1.0 / (vbs * hbs)).max() < 0.04
+        assert np.abs(ref_counts / n_draws - got_counts / n_draws).max() < 0.06
+
     def test_iter_epoch_exact_coverage(self, rng):
         bank, *_ = self._make(rng, b=1, h=8, w=8)
         seen = []
