@@ -26,3 +26,9 @@ from nerf_tpu.parallel.tensor_parallel import (
     shard_params,
 )
 from nerf_tpu.parallel import distributed
+from nerf_tpu.parallel.watchdog import (
+    Heartbeat,
+    Supervisor,
+    read_heartbeats,
+    stale_processes,
+)

@@ -582,6 +582,16 @@ class Trainer:
                 run_fns[k] = self._make_run_fn(bank, k, fused)
             return run_fns[k](state)
 
+        # Liveness + progress beacon for the watchdog/supervisor
+        # (parallel/watchdog.py): a hung collective or wedged relay stops
+        # the beats; a supervisor restarts the gang from the last durable
+        # checkpoint.
+        heartbeat = None
+        if self.logging_dir:
+            from nerf_tpu.parallel.watchdog import Heartbeat
+
+            heartbeat = Heartbeat(self.logging_dir).start()
+
         last_t = time.time()
         step = int(state.step)
         while step < num_steps:
@@ -590,6 +600,8 @@ class Trainer:
             # The multi-step runners DONATE the state buffers: rebind.
             state, aux = run_chunk(state, k)
             step = boundary
+            if heartbeat is not None:
+                heartbeat.update(step)
 
             if step % cfg.log_interval == 0 or step == num_steps:
                 aux = jax.device_get(aux)
@@ -612,6 +624,8 @@ class Trainer:
             if self.logging_dir and step % cfg.checkpoint_interval == 0:
                 ckpt_lib.save_checkpoint(self.logging_dir, state)
             last_t = time.time()
+        if heartbeat is not None:
+            heartbeat.stop()
         if self.logging_dir:
             ckpt_lib.save_checkpoint(self.logging_dir, state)
             self.metrics.save_npy_dumps()
