@@ -278,10 +278,12 @@ class ClassicNeRF:
                 from nerf_tpu.ops.pallas import fused_hier
 
                 t_cat = jnp.concatenate([t_coarse, t_fine], axis=-1)
-                dists_u = compositing.unsorted_dists(t_cat, rays_d)
+                dist_c_u, dist_f_u = compositing.union_dists_sorted(
+                    t_coarse, t_fine, rays_d
+                )
                 pre = fused_hier.coarse_union_precompute(
                     density_c, color_c, t_coarse, t_fine,
-                    dists_u[..., : render.num_coarse_samples, 0],
+                    dist_c_u[..., 0],
                 )
                 _, xf_enc, df_enc = self._encode_inputs(
                     rays_o, rays_d, t_fine, states_x, states_d
@@ -292,7 +294,7 @@ class ClassicNeRF:
                     df_enc,
                     t_coarse,
                     t_fine,
-                    dists_u[..., render.num_coarse_samples :, 0],
+                    dist_f_u[..., 0],
                     jnp.zeros_like(t_fine),
                     *pre,
                     compute_dtype=jnp.dtype(self.cfg.compute_dtype),

@@ -776,11 +776,11 @@ def reuse_train_loss_and_grads(
     )
 
     # -- union precompute + fused fine stage ------------------------------
-    dists_u = compositing.unsorted_dists(
-        jnp.concatenate([t_coarse, t_fine], axis=-1), rays_d
+    dist_c_u, dist_f_u = compositing.union_dists_sorted(
+        t_coarse, t_fine, rays_d
     )
-    dist_c_u = dists_u[..., :sc, 0]
-    dist_f_u = dists_u[..., sc:, 0]
+    dist_c_u = dist_c_u[..., 0]
+    dist_f_u = dist_f_u[..., 0]
     pre, vjp_pre = jax.vjp(
         lambda dc, cc: coarse_union_precompute(
             dc, cc, t_coarse, t_fine, dist_c_u

@@ -168,6 +168,36 @@ class TestWhiteBackground:
         np.testing.assert_allclose(rgb_white, 1.0, atol=1e-5)
 
 
+class TestUnionDistsSorted:
+    """The O(Sc*Sf) two-sorted-blocks specialization must equal the generic
+    O(S^2) ``unsorted_dists`` on the concatenated set, including exact
+    duplicate t-values (the (t, index) tie-break)."""
+
+    def test_matches_generic(self, rng):
+        n, sc, sf = 8, 6, 10
+        t_c = np.sort(rng.uniform(2.0, 6.0, size=(n, sc)), -1).astype(
+            np.float32
+        )
+        t_f = np.sort(rng.uniform(2.0, 6.0, size=(n, sf)), -1).astype(
+            np.float32
+        )
+        # Force exact ties between (and within) the blocks, re-sorting so
+        # each block stays sorted.
+        t_f[:, 3] = t_c[:, 2]
+        t_f[:, 4] = t_c[:, 2]
+        t_f = np.sort(t_f, -1)
+        rays_d = rng.normal(size=(n, 3)).astype(np.float32)
+        ref = compositing.unsorted_dists(
+            jnp.concatenate([jnp.asarray(t_c), jnp.asarray(t_f)], axis=-1),
+            jnp.asarray(rays_d),
+        )
+        dist_c, dist_f = compositing.union_dists_sorted(
+            jnp.asarray(t_c), jnp.asarray(t_f), jnp.asarray(rays_d)
+        )
+        np.testing.assert_array_equal(np.asarray(dist_c), ref[:, :sc])
+        np.testing.assert_array_equal(np.asarray(dist_f), ref[:, sc:])
+
+
 class TestUnsortedWeights:
     """Order-free weights (the disjoint-stage hierarchical path) must equal
     the sorted-path quadrature up to product-reassociation rounding."""
