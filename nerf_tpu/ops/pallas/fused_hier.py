@@ -759,13 +759,16 @@ def reuse_train_loss_and_grads(
         wts = compositing.weights_from_density(dc, dists_stage)
         rgb = compositing.composite_rgb_with_background(wts, cc, bg)
         err = rgb - pixels
-        return stage_w * jnp.mean(err * err)
+        # Weights as vjp aux: the resampler reuses them without a second
+        # cumprod ladder and without entering the cotangent graph.
+        return stage_w * jnp.mean(err * err), wts
 
-    loss_c, vjp_cl = jax.vjp(coarse_loss_fn, dens_c, col_c)
+    loss_c, vjp_cl, weights_c = jax.vjp(
+        coarse_loss_fn, dens_c, col_c, has_aux=True
+    )
     g_dens_c, g_col_c = vjp_cl(jnp.ones((), loss_c.dtype))
 
     # -- inverse-CDF fine sampling (stop-gradient weights) ----------------
-    weights_c = compositing.weights_from_density(dens_c, dists_stage)
     t_mids = 0.5 * (t_coarse[..., 1:] + t_coarse[..., :-1])
     t_fine = sampling.sample_pdf(
         k_pdf,

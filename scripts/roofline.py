@@ -98,11 +98,20 @@ def vpu_ops_per_point(cfg) -> int:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="ROOFLINE.md")
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--samples", type=int, default=64)
+    ap.add_argument("--fine", type=int, default=0,
+                    help="fine samples (hierarchical when > 0)")
+    ap.add_argument("--config", choices=["coarse", "hierarchical"],
+                    default="coarse")
     ap.add_argument("--k", type=int, default=40)
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = ap.parse_args()
+    if args.config == "hierarchical":
+        args.fine = args.fine or 128
+        args.batch = args.batch or 2048
+        args.k = min(args.k, 16)
+    args.batch = args.batch or 4096
 
     import jax
 
@@ -125,7 +134,8 @@ def main() -> None:
         )
     )
     render = RenderConfig(
-        num_coarse_samples=args.samples, near=2.0, far=6.0,
+        num_coarse_samples=args.samples, num_fine_samples=args.fine,
+        near=2.0, far=6.0,
         randomly_sample=True, density_noise_std=1.0,
     )
     opt = optax.adam(1e-4)
@@ -162,8 +172,17 @@ def main() -> None:
     total_dev = sum(buckets.values())
 
     # ---- analytic bounds --------------------------------------------------
-    n_points = args.batch * args.samples
-    mm_flops = train_step_flops(model.cfg, args.batch, args.samples)
+    n_points = args.batch * (args.samples + args.fine)
+    if args.fine:
+        # Hierarchical reuse: coarse runs fwd + recompute-bwd through the
+        # custom-VJP pair (4x fwd-units), fine through the fused kernel
+        # (3x); train_step_flops is the 3x model.
+        from nerf_tpu.utils.profiling import classic_flops_per_point
+
+        per_pt = classic_flops_per_point(model.cfg)
+        mm_flops = per_pt * args.batch * (4 * args.samples + 3 * args.fine)
+    else:
+        mm_flops = train_step_flops(model.cfg, args.batch, args.samples)
     t_mxu = mm_flops / MXU_BF16_PEAK
     # HBM: bf16 encodings in, f32 grads + scalars out; params resident.
     cfg = model.cfg
