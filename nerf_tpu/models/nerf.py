@@ -453,6 +453,20 @@ class MipNeRF:
         )
         return means, density, color, segmentation
 
+    def _use_fused_eval(self, render: RenderConfig, rays_o: Array) -> bool:
+        """Gate for the forward-only fused eval kernel (MLP + compositing
+        + seg composite in one call): deterministic renders, flat ray
+        batch.  Callers opt in via ``render_rays(fused_eval=True)`` —
+        ``render_image`` does; differentiable paths must not (no VJP)."""
+        from nerf_tpu.ops.pallas import fused_mip_mlp
+
+        return (
+            self.cfg.use_pallas
+            and fused_mip_mlp.supports_mip_config(self.cfg)
+            and render.density_noise_std == 0.0
+            and rays_o.ndim == 2
+        )
+
     def render_rays(
         self,
         params: Params,
@@ -462,6 +476,7 @@ class MipNeRF:
         render: RenderConfig,
         states_x: Optional[Array] = None,
         states_d: Optional[Array] = None,
+        fused_eval: bool = False,
     ) -> RenderOutput:
         """Mirror of reference ``NeRF.render_rays`` (``model.py:596-668``),
         including the single-entry stage axis on rgb/segmentation outputs."""
@@ -478,6 +493,32 @@ class MipNeRF:
             randomly_sample=render.randomly_sample,
             dtype=rays_o.dtype,
         )
+        if fused_eval and self._use_fused_eval(render, rays_o):
+            # Forward-only fused path: MLP + compositing + the log-space
+            # seg composite in ONE kernel (ops/pallas/fused_mip_train.py)
+            # — no [points, 54] head-output round trip through HBM.
+            from nerf_tpu.ops.pallas import fused_mip_train
+
+            del states_x, states_d  # accepted and ignored (HEAD behavior)
+            means, _, features = self.integrated_pe(rays_o, rays_d, t_vals)
+            t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+            rgb, seg, depth, acc = fused_mip_train.mip_eval_pallas(
+                params,
+                features,
+                compositing.distances_from_points(means),
+                t_mids,
+                None,
+                self.cfg.num_hidden_layers,
+                color_outputs=self.cfg.color_outputs,
+                white_background=render.white_background,
+                compute_dtype=jnp.dtype(self.cfg.compute_dtype),
+            )
+            return RenderOutput(
+                rgb=rgb[..., None, :],
+                segmentation=seg[..., None, :],
+                depth=depth,
+                acc=acc,
+            )
         points, density, color, segmentation = self.forward(
             params, rays_o, rays_d, t_vals, states_x, states_d
         )
@@ -520,7 +561,8 @@ class MipNeRF:
         def per_tile(args):
             tile_o, tile_d, tile_sx, tile_sd, tile_key = args
             out = self.render_rays(
-                params, tile_key, tile_o, tile_d, render, tile_sx, tile_sd
+                params, tile_key, tile_o, tile_d, render, tile_sx, tile_sd,
+                fused_eval=True,
             )
             return jnp.concatenate(
                 [out.rgb[..., -1, :], out.segmentation[..., -1, :]], axis=-1

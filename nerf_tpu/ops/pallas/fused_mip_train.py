@@ -400,6 +400,132 @@ def _unpack_grads(g: Dict[str, Array], num_hidden_layers: int):
     return grads
 
 
+def _mip_eval_kernel(*refs, num_layers, compute_dtype, num_rows, cols,
+                     n_seg, white_background, splits):
+    """Forward-only mip objective: MLP + alpha compositing + RGB/depth/acc
+    + full-channel log-space segmentation composite, per-ray outputs
+    broadcast to interval rows.  The forward half of ``_mip_train_kernel``
+    with the seg composite over ALL classes (eval wants the full
+    log-prob vector, not just the label channel)."""
+    feat_ref, aux_ref = refs[0:2]
+    w = dict(zip(_PACK_ORDER, refs[2 : 2 + len(_PACK_ORDER)]))
+    out_ref = refs[2 + len(_PACK_ORDER)]
+    w = {k: v[:] for k, v in w.items()}
+    dt = compute_dtype
+
+    tile = feat_ref.shape[0]
+    rows = tile // splits
+    pos = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % num_rows
+    for s in range(splits):
+        sl = slice(s * rows, (s + 1) * rows)
+        feat = feat_ref[sl, :]
+        aux = aux_ref[sl, :]
+        dist = aux[:, 0:1]
+        noise = aux[:, 1:2]
+        t_mid = aux[:, 2:3]
+
+        _, out = _forward_chain(feat, w, num_layers, dt)
+        dens = out[:, 0:1] + noise
+        col = out[:, 1 : 1 + cols]
+        seg = out[:, 1 + cols :]
+
+        alpha = jnp.exp(-jnp.maximum(dens, 0.0) * dist)
+        log_t = _seg_exclusive_prefix(
+            jnp.log(alpha + 1e-10), pos, num_rows
+        )
+        w_i = (1.0 - alpha) * jnp.exp(log_t)
+
+        rgb = _seg_total(w_i * jax.nn.sigmoid(col), pos, num_rows)
+        acc = _seg_total(w_i, pos, num_rows)
+        if white_background:
+            rgb = rgb + (1.0 - acc)
+        depth = _seg_total(w_i * t_mid, pos, num_rows)
+
+        lane_max = jnp.max(seg, axis=-1, keepdims=True)
+        lse = lane_max + jnp.log(
+            jnp.sum(jnp.exp(seg - lane_max), axis=-1, keepdims=True)
+        )
+        z = jnp.log(w_i + 1e-10) + (seg - lse)  # [rows, n_seg]
+        m_tot = _seg_total_max(z, pos, num_rows)
+        seg_out = m_tot + jnp.log(
+            _seg_total(jnp.exp(z - m_tot), pos, num_rows)
+        )
+
+        out_ref[sl, 0:cols] = rgb
+        out_ref[sl, cols : cols + n_seg] = seg_out
+        out_ref[sl, cols + n_seg : cols + n_seg + 1] = depth
+        out_ref[sl, cols + n_seg + 1 : cols + n_seg + 2] = acc
+
+
+def mip_eval_pallas(
+    params: Dict[str, Any],
+    features: Array,
+    dists: Array,
+    t_mids: Array,
+    noise: Optional[Array],
+    num_hidden_layers: int,
+    color_outputs: int = 3,
+    white_background: bool = False,
+    compute_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> Tuple[Array, Array, Array, Array]:
+    """Forward-only fused mip render: ``(rgb [B,C], seg_log_probs [B,K],
+    depth [B], acc [B])`` in ONE kernel — replaces the two-step eval path
+    (custom-VJP MLP kernel + XLA cumprod/logsumexp compositing) and its
+    kernel-boundary round trip of the ``[points, 54]`` head outputs.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n_rays, num_rows = features.shape[0], features.shape[1]
+    cols = color_outputs
+    f = features.shape[-1]
+    total = n_rays * num_rows
+    tile = _pick_tile(total, num_rows)
+    grid = total // tile
+
+    packed = pack_mip_params(params)
+    n_seg = packed["w_out"].shape[1] - 1 - cols
+    feat2 = features.reshape(total, f).astype(compute_dtype)
+    if noise is None:
+        noise = jnp.zeros((n_rays, num_rows), jnp.float32)
+    aux = jnp.concatenate(
+        [dists, noise[..., None], t_mids[..., None]], axis=-1
+    ).reshape(total, 3)
+    weights = [packed[k] for k in _PACK_ORDER]
+
+    width = cols + n_seg + 2
+    out = pl.pallas_call(
+        functools.partial(
+            _mip_eval_kernel,
+            num_layers=num_hidden_layers,
+            compute_dtype=compute_dtype,
+            num_rows=num_rows,
+            cols=cols,
+            n_seg=n_seg,
+            white_background=white_background,
+            splits=_SPLITS,
+        ),
+        out_shape=jax.ShapeDtypeStruct((total, width), jnp.float32),
+        grid=(grid,),
+        in_specs=[
+            _tile_spec(tile, f),
+            _tile_spec(tile, 3),
+            *[_full_spec(w.shape) for w in weights],
+        ],
+        out_specs=_tile_spec(tile, width),
+        interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
+    )(feat2, aux, *weights)
+
+    per_ray = out.reshape(n_rays, num_rows, width)[:, 0, :]
+    return (
+        per_ray[:, :cols],
+        per_ray[:, cols : cols + n_seg],
+        per_ray[:, cols + n_seg],
+        per_ray[:, cols + n_seg + 1],
+    )
+
+
 def mip_train_loss_and_grads(
     model,
     params: Dict[str, Any],

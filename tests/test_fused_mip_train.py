@@ -142,6 +142,76 @@ def test_multi_step_matches_general_losses():
     np.testing.assert_allclose(runs["fused"], runs["general"], rtol=1e-2)
 
 
+class TestFusedMipEval:
+    """The forward-only fused mip eval kernel must match the XLA path
+    (MLP + cumprod compositing + logsumexp seg composite) on rgb, full
+    seg log-probs, depth, and acc."""
+
+    def _pair(self, render, n=64):
+        rng = np.random.default_rng(2)
+        rays_o = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+        rays_d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+        outs = {}
+        for pallas in (False, True):
+            cfg = MipNeRFConfig(use_pallas=pallas)
+            model = MipNeRF(cfg)
+            params = model.init(jax.random.PRNGKey(0))
+            if pallas:
+                assert model._use_fused_eval(render, rays_o)
+            outs[pallas] = model.render_rays(
+                params, None, rays_o, rays_d, render, fused_eval=pallas
+            )
+        return outs
+
+    @pytest.mark.parametrize("white", [False, True])
+    def test_matches_xla_path(self, white):
+        render = RenderConfig(
+            num_coarse_samples=16, randomly_sample=False,
+            density_noise_std=0.0, white_background=white,
+        )
+        outs = self._pair(render)
+        np.testing.assert_allclose(
+            np.asarray(outs[True].rgb), np.asarray(outs[False].rgb),
+            rtol=5e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[True].segmentation),
+            np.asarray(outs[False].segmentation),
+            rtol=5e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[True].depth), np.asarray(outs[False].depth),
+            rtol=1e-3, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[True].acc), np.asarray(outs[False].acc),
+            rtol=5e-4, atol=1e-5,
+        )
+
+    def test_render_image_matches(self):
+        from nerf_tpu.data.scenes import spherical_poses
+
+        pose_o, pose_r = spherical_poses(1, radius=4.0)
+        render = RenderConfig(
+            num_coarse_samples=8, randomly_sample=False,
+            density_noise_std=0.0, rays_per_tile=128,
+        )
+        imgs = {}
+        for pallas in (False, True):
+            model = MipNeRF(MipNeRFConfig(use_pallas=pallas))
+            params = model.init(jax.random.PRNGKey(0))
+            rgb, seg = model.render_image(
+                params, None, pose_o, pose_r, 16, 16, 20.0, render
+            )
+            imgs[pallas] = (np.asarray(rgb), np.asarray(seg))
+        np.testing.assert_allclose(
+            imgs[True][0], imgs[False][0], rtol=5e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            imgs[True][1], imgs[False][1], rtol=5e-4, atol=1e-4
+        )
+
+
 def test_bfloat16_compute_runs():
     # bf16 compute is a throughput knob, not a parity contract: just assert
     # the kernel runs and tracks the f32 loss loosely.
