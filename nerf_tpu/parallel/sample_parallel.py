@@ -20,12 +20,22 @@ These collectives move O(rays) scalars while the O(rays x samples) MLP work
 stays fully sharded, so the sample axis scales like a sequence-parallel
 transformer (per-token work sharded, per-sequence reductions collective).
 
-The hierarchical fine stage stays sample-parallel too: the COARSE stage
-additionally ``all_gather``s its per-sample weight vector (O(rays x
-coarse_samples) floats — the one collective bigger than O(rays), needed as
-the resampler's input), every shard runs the (deterministic, shared-key)
-inverse-CDF resampler on the full weight vector, and each shard then
-evaluates only its slice of the merged coarse+fine sample list.
+The hierarchical fine stage stays sample-parallel too, in BOTH
+formulations:
+
+* re-evaluate (``reuse_coarse_in_fine=False``): the COARSE stage
+  ``all_gather``s its per-sample weight vector (O(rays x coarse_samples)
+  floats — needed as the resampler's input), every shard runs the
+  (deterministic, shared-key) inverse-CDF resampler on the full weight
+  vector, and each shard evaluates only its slice of the merged
+  coarse+fine sample list;
+* disjoint-stage reuse (``reuse_coarse_in_fine=True``, the default): the
+  coarse stage ``all_gather``s its raw (noised) density + color logits
+  instead, the fine MLP runs only on each shard's slice of the NEW fine
+  samples, and the order-free union composite completes with the same
+  cross-shard machinery — the fine-block transmittance prefix hands off
+  via per-shard log-alpha totals (O(rays)), and the fine-before-coarse
+  cross terms are one ``psum`` of an O(rays x coarse_samples) partial.
 
 Supports ``ClassicNeRF`` (the flagship).  ``MipNeRF`` renders S-1 intervals
 from S fenceposts with 64 intervals at HEAD — too shallow for the sample
@@ -34,7 +44,7 @@ axis to be worth sharding; it uses the data-parallel path instead.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -73,15 +83,18 @@ def _sharded_stage(
     density_noise_std: float,
     num_shards: int,
     gather_weights: bool = False,
-) -> Tuple[Array, Optional[Array], Array, Array]:
+    gather_raw: bool = False,
+) -> Tuple[Array, Optional[Any], Array, Array]:
     """One compositing stage with the sample axis sharded over ``SAMPLE_AXIS``.
 
     ``t_full`` is the full per-ray fencepost vector (replicated along the
     sample mesh axis); the expensive encoder+MLP runs only on this shard's
-    slice.  Returns ``(rgb, w_full, depth, acc)`` where ``rgb``/``depth``/
-    ``acc`` are complete (post-``psum``) and ``w_full`` is the all-gathered
-    weight vector (``gather_weights=True``; the coarse stage needs it as
-    the hierarchical resampler's input — the fine stage skips the gather).
+    slice.  Returns ``(rgb, gathered, depth, acc)`` where ``rgb``/``depth``/
+    ``acc`` are complete (post-``psum``) and ``gathered`` is the
+    all-gathered per-sample weight vector (``gather_weights=True``; the
+    re-evaluate resampler's input) or the all-gathered ``(noised_density,
+    color_logits)`` pair (``gather_raw=True``; the reuse-formulation union
+    consumes the raw coarse outputs) — fine stages skip the gather.
     """
     t_loc = _local_slice(t_full, SAMPLE_AXIS, num_shards, axis=-1)
     _, density, color = model.forward(
@@ -124,12 +137,126 @@ def _sharded_stage(
         jnp.sum(weights[..., 0] * t_loc, axis=-1), SAMPLE_AXIS
     )
     acc = jax.lax.psum(jnp.sum(weights[..., 0], axis=-1), SAMPLE_AXIS)
-    w_full = None
+    gathered = None
     if gather_weights:
-        w_full = jax.lax.all_gather(
+        gathered = jax.lax.all_gather(
             weights, SAMPLE_AXIS, axis=len(weights.shape) - 2, tiled=True
         )
-    return rgb, w_full, depth, acc
+    elif gather_raw:
+        gathered = tuple(
+            jax.lax.all_gather(
+                x, SAMPLE_AXIS, axis=len(x.shape) - 2, tiled=True
+            )
+            for x in (density, color)
+        )
+    return rgb, gathered, depth, acc
+
+
+def _sharded_reuse_fine_stage(
+    model,
+    params,
+    noise_key: Optional[jax.Array],
+    rays_o: Array,
+    rays_d: Array,
+    t_coarse: Array,
+    dens_c_full: Array,
+    col_c_full: Array,
+    t_fine: Array,
+    states_x: Optional[Array],
+    states_d: Optional[Array],
+    density_noise_std: float,
+    num_shards: int,
+) -> Tuple[Array, Array, Array]:
+    """Disjoint-stage fine pass with the FINE sample axis sharded.
+
+    Mirrors the single-device reuse branch (``models/nerf.py``): the MLP
+    runs only on this shard's slice of the new fine samples; the coarse
+    block's (noised) density/color arrive all-gathered and replicated.
+    The order-free union composite completes with two collectives:
+
+    * the fine-block transmittance prefix hands off across shards via
+      per-shard log-alpha totals (``all_gather`` of O(rays) scalars — the
+      same associative-prefix decomposition as ``_sharded_stage``);
+    * the fine-before-coarse cross terms (``sum of fine log-alphas with
+      t_f < t_c``) are per-shard partials combined with one ``psum`` of
+      an O(rays x Sc) tensor.
+
+    The coarse block's direct contribution to rgb/depth/acc is added on
+    shard 0 only (it is replicated), so the final ``psum`` counts it once.
+    Returns complete ``(rgb, depth, acc)``.
+    """
+    # Replicated coarse-side quantities under the UNION total order.
+    dist_c_u, dist_f_u = compositing.union_dists_sorted(
+        t_coarse, t_fine, rays_d
+    )
+    alpha_c = jnp.exp(
+        -jax.nn.relu(dens_c_full[..., 0]) * dist_c_u[..., 0]
+    )  # [rays, Sc]
+    log_ac = jnp.log(alpha_c + 1e-10)
+    pref_own = cumulative.cumsum(log_ac, axis=-1) - log_ac  # exclusive
+    sig_c = jax.nn.sigmoid(col_c_full)
+
+    # Local fine slice: MLP + noise (same scheme as _sharded_stage).
+    t_f_loc = _local_slice(t_fine, SAMPLE_AXIS, num_shards, axis=-1)
+    _, dens_f, col_f = model.forward(
+        params, rays_o, rays_d, t_f_loc, states_x, states_d
+    )
+    if noise_key is not None and density_noise_std > 0.0:
+        noise_key = jax.random.fold_in(
+            noise_key, jax.lax.axis_index(SAMPLE_AXIS)
+        )
+        dens_f = dens_f + density_noise_std * jax.random.normal(
+            noise_key, dens_f.shape, dens_f.dtype
+        )
+    dist_f_loc = _local_slice(dist_f_u, SAMPLE_AXIS, num_shards, axis=-2)
+    alpha_f = jnp.exp(-jax.nn.relu(dens_f) * dist_f_loc)  # [rays, Sf/P, 1]
+    log_af = jnp.log(alpha_f + 1e-10)
+
+    # Cross-shard fine-block exclusive prefix (log-space hand-off).
+    incl = cumulative.cumsum(log_af, axis=-2)
+    excl = incl - log_af
+    shard_total = incl[..., -1, :]  # [rays, 1]
+    totals = jax.lax.all_gather(shard_total, SAMPLE_AXIS)  # [P, rays, 1]
+    idx = jax.lax.axis_index(SAMPLE_AXIS)
+    mask = (jnp.arange(num_shards) < idx)[:, None, None]
+    carry_in = jnp.sum(jnp.where(mask, totals, 0.0), axis=0)  # [rays, 1]
+    pref_f = excl + carry_in[..., None, :]
+
+    # Coarse log-alphas before each local fine sample (coarse ties sort
+    # BEFORE fine — the concatenated (t, index) order).
+    before_c = t_coarse[..., None, :] <= t_f_loc[..., :, None]
+    cross_c = jnp.sum(
+        jnp.where(before_c, log_ac[..., None, :], 0.0), axis=-1
+    )  # [rays, Sf/P]
+    w_f = (1.0 - alpha_f) * jnp.exp(cross_c[..., None] + pref_f)
+
+    # Fine log-alphas strictly before each coarse sample: local partial,
+    # completed with one psum over the sample shards.
+    before_f = t_f_loc[..., None, :] < t_coarse[..., :, None]
+    cross_f = jax.lax.psum(
+        jnp.sum(
+            jnp.where(before_f, log_af[..., None, :, 0], 0.0), axis=-1
+        ),
+        SAMPLE_AXIS,
+    )  # [rays, Sc]
+    w_c = (1.0 - alpha_c) * jnp.exp(pref_own + cross_f)
+
+    first = (idx == 0).astype(w_c.dtype)
+    coarse_rgb = jnp.sum(w_c[..., None] * sig_c, axis=-2)
+    rgb = jax.lax.psum(
+        jnp.sum(w_f * jax.nn.sigmoid(col_f), axis=-2) + first * coarse_rgb,
+        SAMPLE_AXIS,
+    )
+    depth = jax.lax.psum(
+        jnp.sum(w_f[..., 0] * t_f_loc, axis=-1)
+        + first * jnp.sum(w_c * t_coarse, axis=-1),
+        SAMPLE_AXIS,
+    )
+    acc = jax.lax.psum(
+        jnp.sum(w_f[..., 0], axis=-1) + first * jnp.sum(w_c, axis=-1),
+        SAMPLE_AXIS,
+    )
+    return rgb, depth, acc
 
 
 def _render_rays_sample_parallel(
@@ -168,17 +295,28 @@ def _render_rays_sample_parallel(
         randomly_sample=render.randomly_sample,
         dtype=rays_o.dtype,
     )
-    rgb_c, w_full, depth, acc = _sharded_stage(
+    hierarchical = render.num_fine_samples > 0
+    reuse = hierarchical and render.reuse_coarse_in_fine
+    rgb_c, gathered, depth, acc = _sharded_stage(
         model, params, k_noise_c, rays_o, rays_d, t_coarse,
         states_x, states_d, render.density_noise_std, num_shards,
-        gather_weights=render.num_fine_samples > 0,
+        gather_weights=hierarchical and not reuse,
+        gather_raw=reuse,
     )
     if render.white_background:
         rgb_c = rgb_c + (1.0 - acc[..., None])
 
     stages = [rgb_c]
-    if render.num_fine_samples > 0:
+    if hierarchical:
         t_mids = 0.5 * (t_coarse[..., 1:] + t_coarse[..., :-1])
+        if reuse:
+            dens_full, col_full = gathered
+            w_full = compositing.weights_from_density(
+                dens_full,
+                compositing.distances_from_tvals(t_coarse, rays_d),
+            )
+        else:
+            w_full = gathered
         w_bins = jax.lax.stop_gradient(w_full[..., 1:-1, 0])
         # Same key on every sample shard -> identical fine fenceposts; the
         # resampler itself is O(rays x samples) scalar work, cheap to
@@ -190,11 +328,18 @@ def _render_rays_sample_parallel(
             render.num_fine_samples,
             randomly_sample=render.randomly_sample,
         )
-        t_all = sampling.merge_samples(t_coarse, t_fine)
-        rgb_f, _, depth, acc = _sharded_stage(
-            model, params, k_noise_f, rays_o, rays_d, t_all,
-            states_x, states_d, render.density_noise_std, num_shards,
-        )
+        if reuse:
+            rgb_f, depth, acc = _sharded_reuse_fine_stage(
+                model, params, k_noise_f, rays_o, rays_d, t_coarse,
+                dens_full, col_full, t_fine, states_x, states_d,
+                render.density_noise_std, num_shards,
+            )
+        else:
+            t_all = sampling.merge_samples(t_coarse, t_fine)
+            rgb_f, _, depth, acc = _sharded_stage(
+                model, params, k_noise_f, rays_o, rays_d, t_all,
+                states_x, states_d, render.density_noise_std, num_shards,
+            )
         if render.white_background:
             rgb_f = rgb_f + (1.0 - acc[..., None])
         stages.append(rgb_f)
@@ -203,13 +348,7 @@ def _render_rays_sample_parallel(
 
 
 def _check_render(render: RenderConfig) -> None:
-    if render.num_fine_samples > 0 and render.reuse_coarse_in_fine:
-        raise ValueError(
-            "the sample-parallel path implements the re-evaluate-everything "
-            "hierarchical formulation; pass RenderConfig("
-            "reuse_coarse_in_fine=False) so results match the single-device "
-            "renderer"
-        )
+    del render  # both hierarchical formulations are supported
 
 
 def make_sample_parallel_render(

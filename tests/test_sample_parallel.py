@@ -89,6 +89,47 @@ class TestSampleParallelRender:
             np.asarray(sharded), np.asarray(single), rtol=1e-5, atol=1e-6
         )
 
+    def test_hierarchical_reuse_render_matches_single_device(self, scene):
+        # The DEFAULT disjoint-stage formulation: fine MLP on new samples
+        # only, order-free union composite completed across sample shards.
+        model = tiny_model()
+        params = model.init(jax.random.PRNGKey(0))
+        render = RenderConfig(num_coarse_samples=8, num_fine_samples=8,
+                              randomly_sample=False, density_noise_std=0.0,
+                              reuse_coarse_in_fine=True)
+        batch = make_batch(scene, 64)
+
+        single = model.render_rays(
+            params, None, batch["rays_o"], batch["rays_d"], render
+        ).rgb[..., -1, :]
+
+        mesh = make_mesh_2d(4, 2)
+        sp_render = make_sample_parallel_render(model, render, mesh)
+        sharded = sp_render(params, batch["rays_o"], batch["rays_d"])
+
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(single), rtol=1e-4, atol=1e-5
+        )
+
+    def test_hierarchical_reuse_white_background(self, scene):
+        model = tiny_model()
+        params = model.init(jax.random.PRNGKey(0))
+        render = RenderConfig(num_coarse_samples=8, num_fine_samples=8,
+                              randomly_sample=False, density_noise_std=0.0,
+                              reuse_coarse_in_fine=True,
+                              white_background=True)
+        batch = make_batch(scene, 32)
+        single = model.render_rays(
+            params, None, batch["rays_o"], batch["rays_d"], render
+        ).rgb[..., -1, :]
+        mesh = make_mesh_2d(2, 4)
+        sharded = make_sample_parallel_render(model, render, mesh)(
+            params, batch["rays_o"], batch["rays_d"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(single), rtol=1e-4, atol=1e-5
+        )
+
     def test_white_background_matches_single_device(self, scene):
         model = tiny_model()
         params = model.init(jax.random.PRNGKey(0))
@@ -148,6 +189,43 @@ class TestSampleParallelTrain:
         # atol 1e-5: the cross-shard transmittance product reassociates the
         # cumprod, and Adam's rsqrt(nu) amplifies that float noise on
         # near-zero-gradient entries.
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            ),
+            jax.device_get(s1p.params), s1.params,
+        )
+
+    def test_hierarchical_reuse_step_matches_single_device(self, scene):
+        # Full train-step gradient parity for the DEFAULT reuse
+        # formulation: coarse grads arrive through the all-gather
+        # transpose, fine grads through the sharded MLP slices, and the
+        # union cross terms through the psum transposes.
+        model = tiny_model()
+        opt = optax.adam(1e-3)
+        render = RenderConfig(num_coarse_samples=8, num_fine_samples=8,
+                              randomly_sample=False, density_noise_std=0.0,
+                              reuse_coarse_in_fine=True)
+        batch = make_batch(scene, 128)
+
+        s0 = create_train_state(model.init(jax.random.PRNGKey(0)), opt)
+        single = make_train_step(model, opt, render, donate=False)
+        s1, aux1 = single(s0, batch)
+
+        mesh = make_mesh_2d(4, 2)
+        from nerf_tpu.parallel import prepare_parallel_state
+
+        s0p = prepare_parallel_state(
+            create_train_state(model.init(jax.random.PRNGKey(0)), opt), mesh
+        )
+        pstep = make_sample_parallel_train_step(model, opt, render, mesh,
+                                                donate=False)
+        s1p, aux1p = pstep(s0p, shard_batch(batch, mesh))
+
+        np.testing.assert_allclose(
+            float(jax.device_get(aux1p["loss"])), float(aux1["loss"]),
+            rtol=1e-5,
+        )
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
