@@ -137,6 +137,46 @@ class ClassicNeRF:
             )
         return points, x_enc, d_enc
 
+    def encode_inputs_flat(
+        self,
+        rays_o: Array,
+        rays_d: Array,
+        t_vals: Array,
+        states_x: Optional[Array] = None,
+        states_d: Optional[Array] = None,
+    ) -> Tuple[Array, Optional[Array]]:
+        """Flat-layout variant of ``_encode_inputs`` for the fused-kernel
+        paths: encodes on ``[rays*S, 3]`` rows (writes the kernels'
+        row-major layout directly — measured ~+1% when no gradients flow
+        through the encodings) with per-ray latents broadcast to the
+        per-point rows.  The one shared copy of the latent-widening rule
+        consumed by the fused train builders.
+
+        Returns ``(x_enc [rays, S, XE], d_enc [rays, S, DE] or None)``.
+        """
+        n_rays, s = t_vals.shape[0], t_vals.shape[-1]
+        points = (
+            rays_o[:, None, :] + rays_d[:, None, :] * t_vals[..., None]
+        )
+
+        def flat_states(st):
+            if st is None or st.shape[-1] == 0:
+                return None
+            return jnp.broadcast_to(
+                st[:, None, :], (n_rays, s, st.shape[-1])
+            ).reshape(-1, st.shape[-1])
+
+        x_enc = self.encode_position(
+            points.reshape(-1, 3), flat_states(states_x)
+        ).reshape(n_rays, s, -1)
+        d_enc = None
+        if self.cfg.use_viewdirs:
+            dirs = jnp.broadcast_to(rays_d[:, None, :], points.shape)
+            d_enc = self.encode_direction(
+                dirs.reshape(-1, 3), flat_states(states_d)
+            ).reshape(n_rays, s, -1)
+        return x_enc, d_enc
+
     def forward(
         self,
         params: Params,

@@ -41,3 +41,13 @@ def cumsum(x: Array, axis: int = -1) -> Array:
 def cumprod(x: Array, axis: int = -1) -> Array:
     """Inclusive cumulative product along ``axis`` (scan-free)."""
     return _doubling(x, axis, jnp.multiply, 1.0)
+
+
+def cummax(x: Array, axis: int = -1) -> Array:
+    """Inclusive running maximum along ``axis`` (scan-free).
+
+    Unlike the sum/product ladders this is EXACT (max is associative with
+    no rounding), so it can repair ~1-ulp monotonicity inversions left by
+    ``cumsum``'s reassociation — see ``sampling.sample_pdf``.
+    """
+    return _doubling(x, axis, jnp.maximum, -jnp.inf)

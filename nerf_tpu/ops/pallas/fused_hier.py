@@ -84,7 +84,9 @@ Array = jax.Array
 TILE_F = 1024
 _SPLITS = 2
 
-_N_GAUX = 5  # [g_alpha_c, g_pref_own, g_sig_r, g_sig_g, g_sig_b]
+# Coarse-cotangent lanes: [g_alpha_c, g_pref_own, g_sig x cols].
+def _n_gaux(cols: int) -> int:
+    return 2 + cols
 
 
 def coarse_union_precompute(
@@ -617,11 +619,11 @@ def fine_stage_train_pallas(
         jax.ShapeDtypeStruct(wshapes["b_dens"], jnp.float32),
         jax.ShapeDtypeStruct(wshapes["w_col"], jnp.float32),
         jax.ShapeDtypeStruct(wshapes["b_col"], jnp.float32),
-        jax.ShapeDtypeStruct((total_c, _N_GAUX), jnp.float32),
+        jax.ShapeDtypeStruct((total_c, _n_gaux(cols)), jnp.float32),
         jax.ShapeDtypeStruct((total_f, 1), jnp.float32),
     ]
     out_specs = [_full_spec(s.shape) for s in out_shapes[:12]] + [
-        _tile_spec(tile_c, _N_GAUX),
+        _tile_spec(tile_c, _n_gaux(cols)),
         _tile_spec(tile_f, 1),
     ]
 
@@ -706,42 +708,12 @@ def reuse_train_loss_and_grads(
     states_x = batch.get("states_x")
     states_d = batch.get("states_d")
 
-    def encode(t_vals, flat):
-        points = (
-            rays_o[:, None, :] + rays_d[:, None, :] * t_vals[..., None]
-        )
-        dirs = jnp.broadcast_to(rays_d[:, None, :], points.shape)
-        s = t_vals.shape[-1]
-
-        def flat_states(st):
-            # Per-ray latents expanded to the flattened per-point rows.
-            if st is None or st.shape[-1] == 0:
-                return None
-            return jnp.broadcast_to(
-                st[:, None, :], (n_rays, s, st.shape[-1])
-            ).reshape(-1, st.shape[-1])
-
-        if flat:
-            # Flat layout writes the fused kernel's row-major layout
-            # directly (no grads flow through fine encodings).
-            x_e = model.encode_position(
-                points.reshape(-1, 3), flat_states(states_x)
-            ).reshape(n_rays, s, -1)
-            d_e = model.encode_direction(
-                dirs.reshape(-1, 3), flat_states(states_d)
-            ).reshape(n_rays, s, -1)
-            return x_e, d_e
-        return (
-            model.encode_position(
-                points, None if states_x is None else states_x[:, None, :]
-            ),
-            model.encode_direction(
-                dirs, None if states_d is None else states_d[:, None, :]
-            ),
-        )
-
     # -- coarse stage: custom-VJP MLP + XLA compositing/loss --------------
-    xc_enc, dc_enc = encode(t_coarse, flat=False)
+    # [B, S, .]-layout encode (flat-before-encoding measured SLOWER on the
+    # custom-VJP path — see the perf notes in CLAUDE.md).
+    _, xc_enc, dc_enc = model._encode_inputs(
+        rays_o, rays_d, t_coarse, states_x, states_d
+    )
     (dens_c_raw, col_c), vjp_c = jax.vjp(
         lambda p: fused_mlp.classic_mlp_pallas(
             p, xc_enc, dc_enc, compute_dtype=dtype
@@ -791,7 +763,9 @@ def reuse_train_loss_and_grads(
         dens_c,
         col_c,
     )
-    xf_enc, df_enc = encode(t_fine, flat=True)
+    xf_enc, df_enc = model.encode_inputs_flat(
+        rays_o, rays_d, t_fine, states_x, states_d
+    )
     if std > 0.0:
         noise_f = std * jax.random.normal(k_noise_f, (n_rays, sf))
     else:

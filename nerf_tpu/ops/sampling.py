@@ -135,6 +135,13 @@ def sample_pdf(
     weights = weights + eps
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = cumulative.cumsum(pdf, axis=-1)  # scan-free (see ops/cumulative)
+    # The doubling-ladder cumsum builds adjacent prefixes with different
+    # association trees, so neighbouring cdf entries can invert by ~1 ulp;
+    # a u landing in an inverted gap would then match TWO half-open
+    # intervals below and the mask-contractions would SUM two bins.  A
+    # running max (exact — max has no rounding) restores monotone,
+    # disjoint intervals.
+    cdf = cumulative.cummax(cdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
     # Clamp the top to exactly 1 so u=1-eps never falls off the table.
     cdf = jnp.concatenate([cdf[..., :-1], jnp.ones_like(cdf[..., :1])], axis=-1)
@@ -153,15 +160,12 @@ def sample_pdf(
         )
 
     # Dense branchless bin selection: sel[..., s, b] is 1 for the unique bin
-    # with cdf[b] <= u[s] < cdf[b+1] (cdf is strictly increasing thanks to
-    # the eps mass, and u < 1 = cdf[-1]).  The four interpolation operands
-    # are then mask-contractions — elementwise multiply + reduce, no gather.
+    # with cdf[b] <= u[s] < cdf[b+1] (cdf is monotone after the cummax
+    # repair above, and u < 1 = cdf[-1]; duplicate cdf values only create
+    # empty intervals, never double matches).  The four interpolation
+    # operands are then mask-contractions — multiply + reduce, no gather.
     lo = cdf[..., None, :-1]  # [..., 1, B]
-    # The doubling-ladder cumsum builds adjacent prefixes with different
-    # association trees, so cdf can invert by ~1 ulp; a u landing in such
-    # an inverted gap would match TWO half-open intervals and sum two
-    # bins.  Clamping hi to lo restores monotone, disjoint intervals.
-    hi = jnp.maximum(cdf[..., None, 1:], lo)
+    hi = cdf[..., None, 1:]
     sel = ((u[..., :, None] >= lo) & (u[..., :, None] < hi)).astype(bins.dtype)
     cdf_below = jnp.sum(sel * lo, axis=-1)
     cdf_above = jnp.sum(sel * hi, axis=-1)

@@ -31,4 +31,5 @@ from nerf_tpu.parallel.watchdog import (
     Supervisor,
     read_heartbeats,
     stale_processes,
+    stalled_processes,
 )

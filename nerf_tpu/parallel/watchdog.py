@@ -12,19 +12,25 @@ Design — deliberately out-of-band of XLA:
   ``<run_dir>/heartbeats/proc_<id>.json`` (pid, step, wall-clock) every
   ``interval`` seconds, via atomic rename so readers never see a torn
   file.  On TPU pods the run dir is the shared filesystem the checkpoints
-  already use — no extra comm channel, nothing on the ICI/DCN path, and a
-  process stuck inside a collective stops beating (the thread only proves
-  liveness of the Python runtime; ``update(step)`` proves forward
-  progress — the watchdog checks both).
-* ``stale_processes``: the detection primitive — which registered
-  processes haven't beaten within ``timeout`` seconds.
+  already use — no extra comm channel, nothing on the ICI/DCN path.  The
+  record carries TWO signals: ``time`` (the thread's last beat — liveness
+  of the Python runtime; note the daemon thread keeps beating even while
+  the main thread is blocked inside a wedged collective, since XLA
+  releases the GIL) and ``progress_time`` (when ``update(step)`` last
+  advanced the step — forward progress).  Hang detection must use
+  ``progress_time``; ``time`` only catches crashed-without-exit states.
+* ``stale_processes`` / ``stalled_processes``: the detection primitives —
+  processes that stopped beating, and processes that stopped making
+  forward progress.
 * ``Supervisor``: the recovery driver for multi-process launches.  Spawns
-  one worker per rank, polls child exits AND heartbeat staleness; on any
-  failure it kills the whole gang (SPMD can't run degraded — a dead rank
-  wedges every collective) and relaunches from scratch, which resumes
-  from the latest durable checkpoint (``train/checkpoint.py`` writes are
-  manifest-gated, so a kill mid-save can never yield a torn restore
-  point).  ``max_restarts`` bounds crash loops.
+  one worker per rank, polls child exits, heartbeat staleness, PROGRESS
+  staleness (the wedged-collective case), and never-registered workers
+  (hung before their first beat); on any failure it kills the whole gang
+  (SPMD can't run degraded — a dead rank wedges every collective) and
+  relaunches from scratch, which resumes from the latest durable
+  checkpoint (``train/checkpoint.py`` writes are manifest-gated, so a
+  kill mid-save can never yield a torn restore point).  ``max_restarts``
+  bounds crash loops.
 
 ``Trainer.fit`` starts a ``Heartbeat`` automatically when it has a
 logging dir, stepping it at every chunk boundary.
@@ -75,6 +81,7 @@ class Heartbeat:
         self.process_id = process_id
         self.interval = interval
         self._step = 0
+        self._progress_time = time.time()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         os.makedirs(os.path.join(run_dir, _HEARTBEAT_DIR), exist_ok=True)
@@ -107,7 +114,10 @@ class Heartbeat:
 
     def update(self, step: int) -> None:
         """Record forward progress (and beat immediately)."""
-        self._step = int(step)
+        step = int(step)
+        if step != self._step:
+            self._progress_time = time.time()
+        self._step = step
         self.beat()
 
     def beat(self) -> None:
@@ -117,6 +127,7 @@ class Heartbeat:
             "process_id": self.process_id,
             "step": self._step,
             "time": time.time(),
+            "progress_time": self._progress_time,
         }
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
         try:
@@ -155,12 +166,32 @@ def read_heartbeats(run_dir: str) -> Dict[int, Dict]:
 def stale_processes(
     run_dir: str, timeout: float, now: Optional[float] = None
 ) -> List[int]:
-    """Process ids whose last beat is older than ``timeout`` seconds."""
+    """Process ids whose last beat is older than ``timeout`` seconds.
+
+    Catches crashed-without-exit states (the beating thread died with the
+    process).  A process wedged inside a collective keeps beating — use
+    ``stalled_processes`` for that case.
+    """
     now = time.time() if now is None else now
     return sorted(
         pid
         for pid, rec in read_heartbeats(run_dir).items()
         if now - rec.get("time", 0.0) > timeout
+    )
+
+
+def stalled_processes(
+    run_dir: str, progress_timeout: float, now: Optional[float] = None
+) -> List[int]:
+    """Process ids whose ``update(step)`` hasn't advanced within
+    ``progress_timeout`` seconds — the wedged-collective / stuck-relay
+    detector (the heartbeat thread keeps beating through those)."""
+    now = time.time() if now is None else now
+    return sorted(
+        pid
+        for pid, rec in read_heartbeats(run_dir).items()
+        if now - rec.get("progress_time", rec.get("time", 0.0))
+        > progress_timeout
     )
 
 
@@ -195,23 +226,40 @@ class Supervisor:
         num_processes: int,
         run_dir: str,
         heartbeat_timeout: float = 60.0,
+        progress_timeout: Optional[float] = None,
+        startup_timeout: Optional[float] = None,
         poll_interval: float = 0.5,
         max_restarts: int = 3,
         env: Optional[Dict[str, str]] = None,
     ):
+        """``heartbeat_timeout``: no beat for this long => crashed-without-
+        exit.  ``progress_timeout``: ``update(step)`` hasn't advanced for
+        this long => wedged collective / stuck device (set it to a
+        generous multiple of the expected step/chunk time; ``None``
+        disables — exit codes and beats still apply).  ``startup_timeout``
+        (default 600 s — workers legitimately spend minutes in imports,
+        distributed init and first compiles before their first beat): a
+        rank that never registered a heartbeat within this long of launch
+        => hung during startup."""
         self.command_for_rank = command_for_rank
         self.num_processes = num_processes
         self.run_dir = run_dir
         self.heartbeat_timeout = heartbeat_timeout
+        self.progress_timeout = progress_timeout
+        self.startup_timeout = (
+            600.0 if startup_timeout is None else startup_timeout
+        )
         self.poll_interval = poll_interval
         self.max_restarts = max_restarts
         self.env = env
         self.restarts = 0
+        self._launch_time = 0.0
 
     # -- gang management ----------------------------------------------------
 
     def _launch(self) -> List[subprocess.Popen]:
         clear_heartbeats(self.run_dir)
+        self._launch_time = time.time()
         return [
             subprocess.Popen(
                 list(self.command_for_rank(rank, self.restarts)),
@@ -240,7 +288,7 @@ class Supervisor:
             code = p.poll()
             if code is not None and code != 0:
                 return f"rank {rank} exited with code {code}"
-        # Staleness applies only to STILL-RUNNING ranks: a worker that
+        # Staleness/stall apply only to STILL-RUNNING ranks: a worker that
         # exited 0 legitimately stops beating.
         running = {r for r, p in enumerate(procs) if p.poll() is None}
         stale = [
@@ -250,6 +298,27 @@ class Supervisor:
         ]
         if stale:
             return f"heartbeat timeout on process(es) {stale}"
+        if self.progress_timeout is not None:
+            stalled = [
+                r
+                for r in stalled_processes(
+                    self.run_dir, self.progress_timeout
+                )
+                if r in running
+            ]
+            if stalled:
+                return f"progress timeout on process(es) {stalled}"
+        # A rank that never registered a beat at all (hung during
+        # startup — e.g. stuck in distributed init) after the grace
+        # period.
+        if time.time() - self._launch_time > self.startup_timeout:
+            seen = set(read_heartbeats(self.run_dir))
+            missing = sorted(running - seen)
+            if missing:
+                return (
+                    f"process(es) {missing} never registered a heartbeat "
+                    f"within {self.startup_timeout}s of launch"
+                )
         return None
 
     def run(self) -> int:
@@ -266,18 +335,20 @@ class Supervisor:
                 if reason is not None:
                     break
                 time.sleep(self.poll_interval)
-            logger.warning(
-                "gang failure (%s); killing %d workers and restarting",
-                reason,
-                self.num_processes,
-            )
             self._kill_gang(procs)
-            self.restarts += 1
-            if self.restarts > self.max_restarts:
+            if self.restarts >= self.max_restarts:
                 raise RuntimeError(
-                    f"giving up after {self.max_restarts} restarts; "
+                    f"giving up after {self.restarts} restarts; "
                     f"last failure: {reason}"
                 )
+            self.restarts += 1
+            logger.warning(
+                "gang failure (%s); killed %d workers, restart %d/%d",
+                reason,
+                self.num_processes,
+                self.restarts,
+                self.max_restarts,
+            )
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
@@ -294,7 +365,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     ap.add_argument("worker", nargs=argparse.REMAINDER,
                     help="worker command (prefix with --)")
     args = ap.parse_args(argv)
-    worker = [a for a in args.worker if a != "--"]
+    worker = list(args.worker)
+    if worker and worker[0] == "--":
+        worker = worker[1:]  # drop only the leading separator
     if not worker:
         ap.error("no worker command given")
 

@@ -315,35 +315,12 @@ def make_fused_loss_and_grads(
         """Encodings + packed scalars for one fused stage over ``t_vals``."""
         n_rays, s = t_vals.shape[0], t_vals.shape[-1]
         dists = compositing.distances_from_tvals(t_vals, batch["rays_d"])
-        points = (
-            batch["rays_o"][:, None, :]
-            + batch["rays_d"][:, None, :] * t_vals[..., None]
+        # Flat-layout encode (gradients don't flow through encodings here
+        # — the kernel returns param grads directly).
+        x_enc, d_enc = model.encode_inputs_flat(
+            batch["rays_o"], batch["rays_d"], t_vals,
+            batch.get("states_x"), batch.get("states_d"),
         )
-
-        def flat_states(st):
-            # Per-ray latents expanded to the flattened per-point rows.
-            if st is None or st.shape[-1] == 0:
-                return None
-            return jnp.broadcast_to(
-                st[:, None, :], (n_rays, s, st.shape[-1])
-            ).reshape(-1, st.shape[-1])
-
-        # Encode on flattened points: gradients don't flow through the
-        # encodings here (the kernel returns param grads directly), and the
-        # flat shape lets the sine fusion write the kernel's row-major
-        # layout directly (measured ~+1% vs encoding in [B, S, .]).
-        x_enc = model.encode_position(
-            points.reshape(-1, 3), flat_states(batch.get("states_x"))
-        ).reshape(n_rays, s, -1)
-        if cfg.use_viewdirs:
-            dirs = jnp.broadcast_to(
-                batch["rays_d"][:, None, :], points.shape
-            )
-            d_enc = model.encode_direction(
-                dirs.reshape(-1, 3), flat_states(batch.get("states_d"))
-            ).reshape(n_rays, s, -1)
-        else:
-            d_enc = None
         if render.density_noise_std > 0.0 and k_noise is not None:
             # Dense [B, S] draw: same values as render_rays' [B, S, 1]
             # (counter-based PRNG), but the [N, 1] shape runs threefry in
@@ -583,15 +560,35 @@ class Trainer:
             return run_fns[k](state)
 
         # Liveness + progress beacon for the watchdog/supervisor
-        # (parallel/watchdog.py): a hung collective or wedged relay stops
-        # the beats; a supervisor restarts the gang from the last durable
-        # checkpoint.
+        # (parallel/watchdog.py): update(step) at every chunk boundary —
+        # a hung collective or wedged relay freezes the PROGRESS signal
+        # (the beat thread itself keeps running), and a supervisor with
+        # progress_timeout restarts the gang from the last checkpoint.
         heartbeat = None
         if self.logging_dir:
             from nerf_tpu.parallel.watchdog import Heartbeat
 
             heartbeat = Heartbeat(self.logging_dir).start()
 
+        try:
+            return self._fit_loop(
+                bank, eval_scene, num_steps, state, eval_view, chunk,
+                run_chunk, heartbeat,
+            )
+        finally:
+            # Stop the beacon on EVERY exit path: a beating thread
+            # surviving a failed fit would mask the failure from the
+            # supervisor this feature feeds.
+            if heartbeat is not None:
+                heartbeat.stop()
+
+    def _fit_loop(
+        self, bank, eval_scene, num_steps, state, eval_view, chunk,
+        run_chunk, heartbeat,
+    ) -> TrainState:
+        import time
+
+        cfg = self.train_cfg
         last_t = time.time()
         step = int(state.step)
         while step < num_steps:
@@ -624,8 +621,6 @@ class Trainer:
             if self.logging_dir and step % cfg.checkpoint_interval == 0:
                 ckpt_lib.save_checkpoint(self.logging_dir, state)
             last_t = time.time()
-        if heartbeat is not None:
-            heartbeat.stop()
         if self.logging_dir:
             ckpt_lib.save_checkpoint(self.logging_dir, state)
             self.metrics.save_npy_dumps()

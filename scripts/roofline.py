@@ -145,15 +145,18 @@ def main() -> None:
     def fresh_state():
         return create_train_state(model.init(jax.random.PRNGKey(0)), opt)
 
+    if args.k < 2:
+        ap.error("--k must be >= 2 (chain-length differencing)")
+    k_short = max(1, args.k // 2) if args.k <= 8 else 8
     runs = {}
-    for k in (8, args.k):
+    for k in (k_short, args.k):
         run = make_fused_multi_step_train_fn(
             model, opt, render, bank, args.batch, k
         )
         state, aux = run(fresh_state())  # compile + warm (donates state)
         float(jax.device_get(aux["loss"])[-1])
         runs[k] = (run, _time_chain(run, state))
-    t_step = (runs[args.k][1] - runs[8][1]) / (args.k - 8)
+    t_step = (runs[args.k][1] - runs[k_short][1]) / (args.k - k_short)
     print(f"measured {t_step*1e3:.2f} ms/step", file=sys.stderr)
 
     # Trace ONE K-step chain and divide device time by K.

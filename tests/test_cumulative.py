@@ -27,6 +27,23 @@ class TestDoublingLadder:
                 rtol=1e-5, atol=1e-6,
             )
 
+    def test_cummax_matches_numpy_and_repairs_inversions(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(5, 77)).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(cumulative.cummax(jnp.asarray(x))),
+            np.maximum.accumulate(x, axis=-1),
+        )
+        # A ~1-ulp inversion (the cumsum-reassociation artifact) becomes
+        # a flat (monotone) step — max is exact, no rounding.
+        v = np.array(
+            [[0.0, 0.5, np.nextafter(0.5, 0.0, dtype=np.float32), 0.8]],
+            np.float32,
+        )
+        out = np.asarray(cumulative.cummax(jnp.asarray(v)))
+        assert (np.diff(out, axis=-1) >= 0).all()
+        assert out[0, 2] == np.float32(0.5)
+
     def test_gradients_match(self):
         rng = np.random.default_rng(2)
         x = jnp.asarray(rng.uniform(0.5, 1.5, size=(6, 33)), jnp.float32)

@@ -16,6 +16,7 @@ from nerf_tpu.ops import compositing, sampling
 from nerf_tpu.ops.pallas import fused_train
 from nerf_tpu.train import (
     create_train_state,
+    make_fused_loss_and_grads,
     make_fused_multi_step_train_fn,
     make_loss_fn,
     make_multi_step_train_fn,
@@ -228,6 +229,50 @@ class TestFusedMultiStep:
         np.testing.assert_allclose(
             runs["fused"], runs["general"], rtol=5e-2
         )
+
+
+def test_reuse_path_supports_nondefault_color_outputs(bank):
+    # The coarse-cotangent slab width follows cfg.color_outputs (it was
+    # once hard-coded to 3 — regression for the cols=4 out-of-bounds
+    # lane write).
+    del bank
+    cfg = ClassicNeRFConfig(
+        normalize_position=6.0, color_outputs=4, use_pallas=True
+    )
+    model = ClassicNeRF(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = {
+        "rays_o": jnp.asarray(
+            rng.normal(size=(32, 3)).astype(np.float32) * 0.5
+        ),
+        "rays_d": jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32)),
+        "pixels": jnp.asarray(rng.uniform(size=(32, 4)).astype(np.float32)),
+    }
+    render = RenderConfig(
+        num_coarse_samples=8, num_fine_samples=8, near=2.0, far=6.0,
+        randomly_sample=False, density_noise_std=0.0,
+        reuse_coarse_in_fine=True,
+    )
+    loss_fn = make_loss_fn(model, render)
+    (ref_loss, _), ref_grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, None, batch
+    )
+    fused = make_fused_loss_and_grads(model, render)
+    loss, grads, _ = fused(params, jax.random.PRNGKey(7), batch)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    err = max(
+        jax.tree.leaves(
+            jax.tree.map(
+                lambda a, b: float(
+                    jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-8)
+                ),
+                ref_grads,
+                grads,
+            )
+        )
+    )
+    assert err < 5e-3
 
 
 class TestFusedHierarchicalReuse:

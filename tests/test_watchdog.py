@@ -90,7 +90,12 @@ _CRASHY_WORKER = textwrap.dedent(
             if mode == "crash-once":
                 os.kill(os.getpid(), signal.SIGKILL)  # mid-run fault
             if mode == "hang-once":
-                hb.stop()  # silent hang: alive but no beats, no progress
+                # Wedged-collective simulation: the beat thread KEEPS
+                # beating (process alive) but step never advances — only
+                # the progress timeout can catch this.
+                time.sleep(600)
+            if mode == "dead-beat-once":
+                hb.stop()  # crashed-without-exit: beats stop entirely
                 time.sleep(600)
         time.sleep(0.02)
     hb.stop()
@@ -106,7 +111,7 @@ def _write_worker(tmp_path):
 
 
 class TestSupervisor:
-    def _run(self, tmp_path, mode, timeout):
+    def _run(self, tmp_path, mode, timeout, progress_timeout=None):
         worker = _write_worker(tmp_path)
         sup = Supervisor(
             lambda rank, _a: [
@@ -115,6 +120,7 @@ class TestSupervisor:
             num_processes=2,
             run_dir=str(tmp_path),
             heartbeat_timeout=timeout,
+            progress_timeout=progress_timeout,
             poll_interval=0.05,
             max_restarts=2,
         )
@@ -132,11 +138,56 @@ class TestSupervisor:
         # relaunch — workers resume from their durable progress files.
         assert self._run(tmp_path, "crash-once", timeout=30.0) == 1
 
-    def test_hang_detected_by_heartbeat_timeout(self, tmp_path):
-        # Rank 1 stops beating but stays ALIVE (the wedged-collective
-        # case exit codes can't catch) — only the heartbeat staleness
-        # check can trigger the restart.
-        assert self._run(tmp_path, "hang-once", timeout=1.0) == 1
+    def test_wedged_rank_detected_by_progress_timeout(self, tmp_path):
+        # Rank 1 stays ALIVE and its heartbeat thread keeps beating (the
+        # wedged-collective case: XLA releases the GIL, the daemon thread
+        # runs on) but step stops advancing — only the PROGRESS timeout
+        # can trigger the restart.
+        assert (
+            self._run(
+                tmp_path, "hang-once", timeout=30.0, progress_timeout=1.5
+            )
+            == 1
+        )
+
+    def test_dead_beats_detected_by_heartbeat_timeout(self, tmp_path):
+        # Rank 1's beat thread dies while the process lives (crashed-
+        # without-exit): heartbeat staleness catches it.
+        assert self._run(tmp_path, "dead-beat-once", timeout=1.0) == 1
+
+    def test_startup_hang_detected(self, tmp_path):
+        # A worker that wedges BEFORE its first beat (e.g. stuck in
+        # distributed init) never registers — the startup grace check
+        # must fail the gang rather than spin forever.
+        worker = tmp_path / "worker.py"
+        worker.write_text(
+            "import json, os, sys, time\n"
+            "run_dir = sys.argv[1]\n"
+            "marker = os.path.join(run_dir, 'attempted')\n"
+            "first = not os.path.exists(marker)\n"
+            "open(marker, 'w').close()\n"
+            "if first:\n"
+            "    time.sleep(600)  # hung startup, no heartbeat ever\n"
+            "# Healthy resume: register a beat immediately (raw write —\n"
+            "# no heavy imports, so the test is not racy under load).\n"
+            "hb = os.path.join(run_dir, 'heartbeats')\n"
+            "os.makedirs(hb, exist_ok=True)\n"
+            "now = time.time()\n"
+            "rec = {'pid': os.getpid(), 'process_id': 0, 'step': 0,\n"
+            "       'time': now, 'progress_time': now}\n"
+            "with open(os.path.join(hb, 'proc_0.json'), 'w') as f:\n"
+            "    json.dump(rec, f)\n"
+        )
+        sup = Supervisor(
+            lambda rank, _a: [sys.executable, str(worker), str(tmp_path)],
+            num_processes=1,
+            run_dir=str(tmp_path),
+            heartbeat_timeout=30.0,
+            startup_timeout=3.0,
+            poll_interval=0.05,
+            max_restarts=2,
+        )
+        assert sup.run() == 1
 
     def test_gives_up_after_max_restarts(self, tmp_path):
         worker = tmp_path / "worker.py"
@@ -151,7 +202,8 @@ class TestSupervisor:
         )
         with pytest.raises(RuntimeError, match="after 2 restarts"):
             sup.run()
-        assert sup.restarts == 3
+        # Exactly max_restarts restarts were PERFORMED (3 launches total).
+        assert sup.restarts == 2
 
 
 _TRAIN_WORKER = textwrap.dedent(
@@ -178,7 +230,7 @@ _TRAIN_WORKER = textwrap.dedent(
     from nerf_tpu.train import create_train_state
     from nerf_tpu.train.checkpoint import restore_latest, save_checkpoint
 
-    marker = os.path.join(run_dir, "attempted")
+    marker = os.path.join(run_dir, f"attempted_{rank}")
     first_attempt = not os.path.exists(marker)
     open(marker, "w").close()
 
