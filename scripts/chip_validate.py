@@ -1,0 +1,274 @@
+"""One serialized pass of every chip-side validation + measurement.
+
+The axon relay wedges if two chip clients run concurrently (CLAUDE.md), so
+all chip work goes through this ONE process in sequence:
+
+1. compile-check the kernels that only ran in interpret mode so far
+   (classic fused-eval union kernel, mip fused train, mip fused eval);
+2. measure train throughput: coarse 4096x64, hierarchical 2048x(64+128),
+   mip 4096x64 (+ seg CE), conditional/latent classic;
+3. measure eval throughput: 400x400 hierarchical render (fused path).
+
+Prints one JSON dict at the end; failures in one section are recorded and
+do not sink the rest.  Timing uses chain-length differencing (bench.py).
+
+Usage:  python scripts/chip_validate.py [--skip-slow]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = {}
+
+
+def section(name):
+    def deco(fn):
+        def run():
+            t0 = time.time()
+            try:
+                RESULTS[name] = fn()
+                RESULTS[name]["ok"] = True
+            except Exception as e:  # noqa: BLE001
+                traceback.print_exc()
+                RESULTS[name] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            RESULTS[name]["wall_s"] = round(time.time() - t0, 1)
+            print(f"[{name}] {RESULTS[name]}", file=sys.stderr, flush=True)
+        return run
+    return deco
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-slow", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nerf_tpu import (
+        ClassicNeRF,
+        ClassicNeRFConfig,
+        MipNeRF,
+        MipNeRFConfig,
+        RenderConfig,
+    )
+    from nerf_tpu.train import create_train_state
+    from nerf_tpu.train.loop import make_fused_multi_step_train_fn
+
+    from bench import _random_bank, _time_chain, bench_train_step
+
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+
+    model_bf16 = ClassicNeRF(
+        ClassicNeRFConfig(
+            normalize_position=6.0, use_pallas=True,
+            compute_dtype="bfloat16",
+        )
+    )
+
+    @section("fused_eval_compile")
+    def _fused_eval():
+        # Classic fused union eval kernel on real Mosaic.
+        model = ClassicNeRF(
+            ClassicNeRFConfig(normalize_position=6.0, use_pallas=True)
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        rays_o = jnp.asarray(rng.normal(size=(2048, 3)).astype(np.float32) * 0.5)
+        rays_d = jnp.asarray(rng.normal(size=(2048, 3)).astype(np.float32))
+        render = RenderConfig(
+            num_coarse_samples=64, num_fine_samples=128, near=2.0, far=6.0,
+            randomly_sample=False, density_noise_std=0.0,
+        )
+        out = model.render_rays(
+            params, None, rays_o, rays_d, render, fused_eval=True
+        )
+        ref = model.render_rays(
+            params, None, rays_o, rays_d, render, fused_eval=False
+        )
+        diff = float(
+            jnp.max(jnp.abs(out.rgb[..., -1, :] - ref.rgb[..., -1, :]))
+        )
+        assert diff < 5e-3, f"fused eval mismatch on chip: {diff}"
+        return {"max_abs_diff_vs_xla": diff}
+
+    @section("mip_fused_compile")
+    def _mip_fused():
+        # Mip fused train + eval kernels on real Mosaic.
+        from nerf_tpu.ops.pallas import fused_mip_train
+        from nerf_tpu.train.loop import make_loss_fn
+
+        cfg = MipNeRFConfig(use_pallas=True)
+        model = MipNeRF(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(1)
+        batch = {
+            "rays_o": jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32)),
+            "rays_d": jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32)),
+            "pixels": jnp.asarray(rng.uniform(size=(256, 3)).astype(np.float32)),
+            "labels": jnp.asarray(rng.integers(0, 50, size=(256,))),
+        }
+        key = jax.random.PRNGKey(3)
+        loss, grads, _ = fused_mip_train.mip_train_loss_and_grads(
+            model, params, RenderConfig(num_coarse_samples=64,
+                                        randomly_sample=True,
+                                        density_noise_std=1.0),
+            batch, key, 0.25,
+        )
+        xla = MipNeRF(MipNeRFConfig(use_pallas=False))
+        loss_fn = make_loss_fn(xla, RenderConfig(num_coarse_samples=64,
+                                                 randomly_sample=True,
+                                                 density_noise_std=1.0), 0.25)
+        (ref_loss, _), _ = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, key, batch
+        )
+        dl = abs(float(loss) - float(ref_loss))
+        assert dl < 1e-3 * max(1.0, abs(float(ref_loss))), dl
+        # Eval kernel.
+        render = RenderConfig(num_coarse_samples=64, randomly_sample=False,
+                              density_noise_std=0.0)
+        out = model.render_rays(params, None, batch["rays_o"],
+                                batch["rays_d"], render, fused_eval=True)
+        ref = xla.render_rays(params, None, batch["rays_o"],
+                              batch["rays_d"], render)
+        dr = float(jnp.max(jnp.abs(out.rgb - ref.rgb)))
+        assert dr < 5e-3, dr
+        return {"train_loss_diff": dl, "eval_rgb_diff": dr}
+
+    @section("train_coarse")
+    def _coarse():
+        render = RenderConfig(num_coarse_samples=64, near=2.0, far=6.0,
+                              randomly_sample=True, density_noise_std=1.0)
+        t = bench_train_step(model_bf16, render, 4096, fused=True)
+        return {"ms_per_step": round(t * 1e3, 2),
+                "rays_per_s": round(4096 / t)}
+
+    @section("train_hierarchical")
+    def _hier():
+        render = RenderConfig(num_coarse_samples=64, num_fine_samples=128,
+                              near=2.0, far=6.0, randomly_sample=True,
+                              density_noise_std=1.0)
+        t = bench_train_step(model_bf16, render, 2048, k1=4, k2=16,
+                             fused=True)
+        return {"ms_per_step": round(t * 1e3, 2),
+                "rays_per_s": round(2048 / t)}
+
+    @section("train_mip")
+    def _mip_train():
+        model = MipNeRF(MipNeRFConfig(use_pallas=True,
+                                      compute_dtype="bfloat16"))
+        render = RenderConfig(num_coarse_samples=64, randomly_sample=True,
+                              density_noise_std=1.0)
+        t = bench_train_step(model, render, 4096, fused=True)
+        return {"ms_per_step": round(t * 1e3, 2),
+                "rays_per_s": round(4096 / t)}
+
+    @section("train_conditional")
+    def _cond():
+        # Latent-conditioned classic (BASELINE config #4) on the fused path.
+        from nerf_tpu.data import RayBank
+
+        rng = np.random.default_rng(0)
+        n = 200_000
+        bank = RayBank(
+            rays_o=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+            rays_d=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+            pixels=jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32),
+            labels=None,
+            image_index=jnp.zeros((n,), jnp.int32),
+            states_x=jnp.asarray(rng.normal(size=(n, 2)), jnp.float32),
+            states_d=jnp.asarray(rng.normal(size=(n, 1)), jnp.float32),
+            image_shape=(20, 100, 100),
+            focal_length=100.0,
+        )
+        cfg = ClassicNeRFConfig(
+            normalize_position=6.0, use_pallas=True,
+            compute_dtype="bfloat16", density_inputs=5, color_inputs=4,
+        )
+        model = ClassicNeRF(cfg)
+        render = RenderConfig(num_coarse_samples=64, near=2.0, far=6.0,
+                              randomly_sample=True, density_noise_std=1.0)
+        opt = optax.adam(1e-4)
+        results = {}
+        for k in (8, 40):
+            run = make_fused_multi_step_train_fn(
+                model, opt, render, bank, 4096, k
+            )
+            state, aux = run(
+                create_train_state(model.init(jax.random.PRNGKey(0)), opt)
+            )
+            float(jax.device_get(aux["loss"])[-1])
+            results[k] = _time_chain(run, state)
+        t = (results[40] - results[8]) / 32
+        return {"ms_per_step": round(t * 1e3, 2),
+                "rays_per_s": round(4096 / t)}
+
+    @section("eval_render")
+    def _eval():
+        from nerf_tpu.data.scenes import spherical_poses
+
+        model = ClassicNeRF(
+            ClassicNeRFConfig(normalize_position=6.0, use_pallas=True,
+                              compute_dtype="bfloat16")
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        pose_o, pose_r = spherical_poses(1, radius=4.0)
+        render = RenderConfig(
+            num_coarse_samples=64, num_fine_samples=128, near=2.0, far=6.0,
+            randomly_sample=False, density_noise_std=0.0,
+            rays_per_tile=2048,
+        )
+
+        def frames(n):
+            def body(img, _):
+                img = model.render_image(
+                    params, None, pose_o, pose_r, 400, 400, 555.0, render
+                )
+                return img, ()
+            import jax.lax as lax
+
+            out, _ = lax.scan(body, jnp.zeros((1, 400, 400, 3)), None,
+                              length=n)
+            return out
+
+        f2 = jax.jit(lambda: frames(2))
+        f6 = jax.jit(lambda: frames(6))
+        f2().block_until_ready()
+        f6().block_until_ready()
+        ts = {}
+        for name, f in (("f2", f2), ("f6", f6)):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(f())
+                best = min(best, time.perf_counter() - t0)
+            ts[name] = best
+        per_frame = (ts["f6"] - ts["f2"]) / 4
+        return {"ms_per_frame": round(per_frame * 1e3, 1),
+                "rays_per_s": round(160_000 / per_frame)}
+
+    _fused_eval()
+    _mip_fused()
+    _coarse()
+    _hier()
+    _mip_train()
+    _cond()
+    if not args.skip_slow:
+        _eval()
+
+    print(json.dumps(RESULTS))
+
+
+if __name__ == "__main__":
+    main()
