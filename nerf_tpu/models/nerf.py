@@ -356,10 +356,9 @@ class ClassicNeRF:
                     k_noise_f, density_f, render.density_noise_std
                 )
                 t_cat = jnp.concatenate([t_coarse, t_fine], axis=-1)
-                dens_cat = jnp.concatenate([density_c, density_f], axis=-2)
                 col_cat = jnp.concatenate([color_c, color_f], axis=-2)
-                weights_f = compositing.weights_from_unsorted(
-                    dens_cat, t_cat, rays_d
+                weights_f = compositing.weights_from_union_sorted(
+                    density_c, density_f, t_coarse, t_fine, rays_d
                 )
                 rgb_f = compositing.composite_rgb_with_background(
                     weights_f,

@@ -154,6 +154,53 @@ def union_dists_sorted(
     return dist_c, dist_f
 
 
+def weights_from_union_sorted(
+    dens_c: Array, dens_f: Array, t_coarse: Array, t_fine: Array,
+    rays_d: Array,
+) -> Array:
+    """``weights_from_unsorted`` specialized to two SORTED blocks.
+
+    Equal (up to sum reassociation) to ``weights_from_unsorted(
+    concat([dens_c, dens_f]), concat([t_coarse, t_fine]), rays_d)`` but
+    O(Sc·Sf): in-block transmittance prefixes are exclusive cumsums of the
+    log-alphas, and the cross-block terms are two masked sums against the
+    OTHER block — [B, Sc, Sf] + [B, Sf, Sc] intermediates instead of
+    [B, (Sc+Sf)^2].  The hierarchical-reuse path's hottest XLA op.
+
+    Tie-break matches the concatenated (t, index) order: coarse indices
+    precede fine, so a tied coarse sample is BEFORE the fine one.
+
+    Returns ``[..., Sc + Sf, 1]`` weights in concatenated block order.
+    """
+    dist_c, dist_f = union_dists_sorted(t_coarse, t_fine, rays_d)
+    alpha_c = jnp.exp(-jax.nn.relu(dens_c) * dist_c)  # [..., Sc, 1]
+    alpha_f = jnp.exp(-jax.nn.relu(dens_f) * dist_f)
+    log_ac = jnp.log(alpha_c[..., 0] + 1e-10)  # [..., Sc]
+    log_af = jnp.log(alpha_f[..., 0] + 1e-10)
+
+    def excl_cumsum(x):
+        c = cumulative.cumsum(x, axis=-1)
+        return jnp.concatenate(
+            [jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1
+        )
+
+    pref_c = excl_cumsum(log_ac)
+    pref_f = excl_cumsum(log_af)
+    # Coarse log-alphas at-or-before each fine sample (coarse ties first).
+    before_c = t_coarse[..., None, :] <= t_fine[..., :, None]
+    cross_c = jnp.sum(
+        jnp.where(before_c, log_ac[..., None, :], 0.0), axis=-1
+    )
+    # Fine log-alphas strictly before each coarse sample.
+    before_f = t_fine[..., None, :] < t_coarse[..., :, None]
+    cross_f = jnp.sum(
+        jnp.where(before_f, log_af[..., None, :], 0.0), axis=-1
+    )
+    w_c = (1.0 - alpha_c) * jnp.exp(pref_c + cross_f)[..., None]
+    w_f = (1.0 - alpha_f) * jnp.exp(pref_f + cross_c)[..., None]
+    return jnp.concatenate([w_c, w_f], axis=-2)
+
+
 def weights_from_unsorted(
     density: Array, t_vals: Array, rays_d: Array
 ) -> Array:

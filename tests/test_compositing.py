@@ -198,6 +198,61 @@ class TestUnionDistsSorted:
         np.testing.assert_array_equal(np.asarray(dist_f), ref[:, sc:])
 
 
+class TestWeightsFromUnionSorted:
+    """The O(Sc*Sf) two-block weights must equal the generic order-free
+    weights on the concatenated set (ties included), value and gradient."""
+
+    def _case(self, rng, n=8, sc=6, sf=10):
+        t_c = np.sort(rng.uniform(2.0, 6.0, size=(n, sc)), -1).astype(
+            np.float32
+        )
+        t_f = np.sort(rng.uniform(2.0, 6.0, size=(n, sf)), -1).astype(
+            np.float32
+        )
+        t_f[:, 3] = t_c[:, 2]  # exact cross-block tie
+        t_f = np.sort(t_f, -1)
+        d_c = rng.normal(size=(n, sc, 1)).astype(np.float32) * 2.0
+        d_f = rng.normal(size=(n, sf, 1)).astype(np.float32) * 2.0
+        rays_d = rng.normal(size=(n, 3)).astype(np.float32)
+        return tuple(jnp.asarray(v) for v in (d_c, d_f, t_c, t_f, rays_d))
+
+    def test_matches_generic(self, rng):
+        d_c, d_f, t_c, t_f, rays_d = self._case(rng)
+        ref = compositing.weights_from_unsorted(
+            jnp.concatenate([d_c, d_f], axis=-2),
+            jnp.concatenate([t_c, t_f], axis=-1),
+            rays_d,
+        )
+        got = compositing.weights_from_union_sorted(d_c, d_f, t_c, t_f,
+                                                    rays_d)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-7
+        )
+
+    def test_gradients_match_generic(self, rng):
+        d_c, d_f, t_c, t_f, rays_d = self._case(rng, n=4)
+
+        def loss_generic(dc, df):
+            w = compositing.weights_from_unsorted(
+                jnp.concatenate([dc, df], axis=-2),
+                jnp.concatenate([t_c, t_f], axis=-1),
+                rays_d,
+            )
+            return jnp.sum(jnp.sin(w * 3.0))
+
+        def loss_block(dc, df):
+            w = compositing.weights_from_union_sorted(dc, df, t_c, t_f,
+                                                      rays_d)
+            return jnp.sum(jnp.sin(w * 3.0))
+
+        g_ref = jax.grad(loss_generic, argnums=(0, 1))(d_c, d_f)
+        g_got = jax.grad(loss_block, argnums=(0, 1))(d_c, d_f)
+        for a, b in zip(g_got, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
+
 class TestUnsortedWeights:
     """Order-free weights (the disjoint-stage hierarchical path) must equal
     the sorted-path quadrature up to product-reassociation rounding."""
