@@ -66,13 +66,15 @@ def _time_chain(run, state, repeats: int = 3) -> float:
 
 def bench_train_step(
     model, render, batch_size: int, k1: int = 8, k2: int = 40,
-    fused: bool = False,
+    fused: bool = False, bank=None,
 ) -> float:
     """Steady-state seconds/step via chain-length differencing.
 
     ``fused=True`` uses the fully-fused train kernel (forward + compositing
     + MSE + backward in ONE Pallas call, ops/pallas/fused_train.py) — the
     fastest coarse-only path; hierarchical configs use the general trainer.
+    ``bank`` overrides the default random RayBank (e.g. one carrying
+    per-image latent tables for the conditional config).
     """
     from nerf_tpu.train import (
         create_train_state,
@@ -82,7 +84,8 @@ def bench_train_step(
 
     maker = make_fused_multi_step_train_fn if fused else make_multi_step_train_fn
     opt = optax.adam(1e-4)
-    bank = _random_bank()
+    if bank is None:
+        bank = _random_bank()
 
     results = {}
     for k in (k1, k2):

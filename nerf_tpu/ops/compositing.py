@@ -102,8 +102,20 @@ def unsorted_dists(t_vals: Array, rays_d: Array) -> Array:
     )[..., None]
 
 
+def _union_cross_masks(
+    t_coarse: Array, t_fine: Array
+) -> Tuple[Array, Array]:
+    """The two O(Sc·Sf) cross-block comparison masks, shared by
+    ``union_dists_sorted`` and ``weights_from_union_sorted`` (their
+    successor / predecessor conventions are exact complements)."""
+    ge = t_fine[..., None, :] >= t_coarse[..., :, None]  # [..., Sc, Sf]
+    gt = t_coarse[..., None, :] > t_fine[..., :, None]  # [..., Sf, Sc]
+    return ge, gt
+
+
 def union_dists_sorted(
-    t_coarse: Array, t_fine: Array, rays_d: Array
+    t_coarse: Array, t_fine: Array, rays_d: Array,
+    cross_masks: Optional[Tuple[Array, Array]] = None,
 ) -> Tuple[Array, Array]:
     """``unsorted_dists`` specialized to the union of two SORTED blocks.
 
@@ -123,12 +135,14 @@ def union_dists_sorted(
     Returns ``(dist_c [..., Sc, 1], dist_f [..., Sf, 1])``.
     """
     inf = jnp.inf
+    ge, gt = cross_masks if cross_masks is not None else _union_cross_masks(
+        t_coarse, t_fine
+    )
     # Coarse slots: next coarse neighbour vs first fine >= t_c (fine ties
     # sort after coarse).
     own_c = jnp.concatenate(
         [t_coarse[..., 1:], jnp.full_like(t_coarse[..., :1], inf)], axis=-1
     )
-    ge = t_fine[..., None, :] >= t_coarse[..., :, None]  # [..., Sc, Sf]
     cross_c = jnp.min(
         jnp.where(ge, t_fine[..., None, :], inf), axis=-1
     )
@@ -138,7 +152,6 @@ def union_dists_sorted(
     own_f = jnp.concatenate(
         [t_fine[..., 1:], jnp.full_like(t_fine[..., :1], inf)], axis=-1
     )
-    gt = t_coarse[..., None, :] > t_fine[..., :, None]  # [..., Sf, Sc]
     cross_f = jnp.min(
         jnp.where(gt, t_coarse[..., None, :], inf), axis=-1
     )
@@ -172,7 +185,10 @@ def weights_from_union_sorted(
 
     Returns ``[..., Sc + Sf, 1]`` weights in concatenated block order.
     """
-    dist_c, dist_f = union_dists_sorted(t_coarse, t_fine, rays_d)
+    masks = _union_cross_masks(t_coarse, t_fine)
+    dist_c, dist_f = union_dists_sorted(
+        t_coarse, t_fine, rays_d, cross_masks=masks
+    )
     alpha_c = jnp.exp(-jax.nn.relu(dens_c) * dist_c)  # [..., Sc, 1]
     alpha_f = jnp.exp(-jax.nn.relu(dens_f) * dist_f)
     log_ac = jnp.log(alpha_c[..., 0] + 1e-10)  # [..., Sc]
@@ -186,15 +202,16 @@ def weights_from_union_sorted(
 
     pref_c = excl_cumsum(log_ac)
     pref_f = excl_cumsum(log_af)
-    # Coarse log-alphas at-or-before each fine sample (coarse ties first).
-    before_c = t_coarse[..., None, :] <= t_fine[..., :, None]
+    ge, gt = masks
+    # Coarse log-alphas at-or-before each fine sample (coarse ties first):
+    # the complement of the successor mask ``gt``.
     cross_c = jnp.sum(
-        jnp.where(before_c, log_ac[..., None, :], 0.0), axis=-1
+        jnp.where(gt, 0.0, log_ac[..., None, :]), axis=-1
     )
-    # Fine log-alphas strictly before each coarse sample.
-    before_f = t_fine[..., None, :] < t_coarse[..., :, None]
+    # Fine log-alphas strictly before each coarse sample: complement of
+    # the successor mask ``ge``.
     cross_f = jnp.sum(
-        jnp.where(before_f, log_af[..., None, :], 0.0), axis=-1
+        jnp.where(ge, 0.0, log_af[..., None, :]), axis=-1
     )
     w_c = (1.0 - alpha_c) * jnp.exp(pref_c + cross_f)[..., None]
     w_f = (1.0 - alpha_f) * jnp.exp(pref_f + cross_c)[..., None]

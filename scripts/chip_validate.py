@@ -54,7 +54,6 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
-    import optax
 
     from nerf_tpu import (
         ClassicNeRF,
@@ -63,10 +62,7 @@ def main() -> None:
         MipNeRFConfig,
         RenderConfig,
     )
-    from nerf_tpu.train import create_train_state
-    from nerf_tpu.train.loop import make_fused_multi_step_train_fn
-
-    from bench import _random_bank, _time_chain, bench_train_step
+    from bench import bench_train_step
 
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
 
@@ -181,15 +177,20 @@ def main() -> None:
 
         rng = np.random.default_rng(0)
         n = 200_000
+        n_img = 20
         bank = RayBank(
             rays_o=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
             rays_d=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
             pixels=jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32),
             labels=None,
-            image_index=jnp.zeros((n,), jnp.int32),
-            states_x=jnp.asarray(rng.normal(size=(n, 2)), jnp.float32),
-            states_d=jnp.asarray(rng.normal(size=(n, 1)), jnp.float32),
-            image_shape=(20, 100, 100),
+            # Real per-image latent tables gathered through image_index
+            # (the documented RayBank contract) so the bench exercises
+            # the gather, not just row 0.
+            image_index=jnp.asarray(rng.integers(0, n_img, size=(n,)),
+                                    jnp.int32),
+            states_x=jnp.asarray(rng.normal(size=(n_img, 2)), jnp.float32),
+            states_d=jnp.asarray(rng.normal(size=(n_img, 1)), jnp.float32),
+            image_shape=(n_img, 100, 100),
             focal_length=100.0,
         )
         cfg = ClassicNeRFConfig(
@@ -199,18 +200,7 @@ def main() -> None:
         model = ClassicNeRF(cfg)
         render = RenderConfig(num_coarse_samples=64, near=2.0, far=6.0,
                               randomly_sample=True, density_noise_std=1.0)
-        opt = optax.adam(1e-4)
-        results = {}
-        for k in (8, 40):
-            run = make_fused_multi_step_train_fn(
-                model, opt, render, bank, 4096, k
-            )
-            state, aux = run(
-                create_train_state(model.init(jax.random.PRNGKey(0)), opt)
-            )
-            float(jax.device_get(aux["loss"])[-1])
-            results[k] = _time_chain(run, state)
-        t = (results[40] - results[8]) / 32
+        t = bench_train_step(model, render, 4096, fused=True, bank=bank)
         return {"ms_per_step": round(t * 1e3, 2),
                 "rays_per_s": round(4096 / t)}
 
