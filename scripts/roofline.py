@@ -53,6 +53,10 @@ def device_time_by_kernel(trace_dir: str):
     tpu_pids = {p for p, n in pids.items() if "TPU" in n}
     if tpu_pids:
         device_pids = tpu_pids
+    elif not device_pids:
+        # CPU debug runs label the lone process "/host:CPU" — fall back to
+        # every pid rather than producing an empty unit table.
+        device_pids = set(pids)
     by_name = defaultdict(float)
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in device_pids:
