@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--num-samples", type=int, default=64)
+    ap.add_argument("--fine-samples", type=int, default=0,
+                    help="hierarchical fine samples (both frameworks run "
+                    "the re-evaluate formulation, the one the torch v1.2 "
+                    "oracle implements)")
     ap.add_argument("--image-hw", type=int, default=64)
     ap.add_argument("--views", type=int, default=6)
     ap.add_argument("--lr", type=float, default=1e-4)
@@ -80,8 +84,12 @@ def main() -> None:
     cfg = ClassicNeRFConfig(normalize_position=6.0)
     model = ClassicNeRF(cfg)
     render = RenderConfig(
-        num_coarse_samples=args.num_samples, near=near, far=far,
+        num_coarse_samples=args.num_samples,
+        num_fine_samples=args.fine_samples, near=near, far=far,
         randomly_sample=True, density_noise_std=args.noise,
+        # Match the torch oracle's hierarchical objective (sorted merge +
+        # re-evaluate) so the two losses are the same quantity.
+        reuse_coarse_in_fine=False,
     )
     bank = RayBank.from_images(
         train_images, scene.pose_o[:holdout], scene.pose_r[:holdout],
@@ -135,6 +143,7 @@ def main() -> None:
                     out = tm.render_rays(
                         eo[s : s + 1024], ed[s : s + 1024], near, far,
                         args.num_samples,
+                        num_fine_samples=args.fine_samples,
                     )
                     preds.append(out[..., -1, :])
             mse = float(((torch.cat(preds) - gt) ** 2).mean())
@@ -146,6 +155,7 @@ def main() -> None:
             idx = torch.randint(0, n_rays, (args.batch_size,), generator=gen)
             out = tm.render_rays(
                 rays_o[idx], rays_d[idx], near, far, args.num_samples,
+                num_fine_samples=args.fine_samples,
                 randomly_sample=True, density_noise_std=args.noise,
                 generator=gen,
             )
