@@ -80,6 +80,12 @@ def main() -> None:
 
     results = {"config": vars(args)}
 
+    def checkpoint_results():
+        # Incremental dump so a killed run keeps its partial curves.
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
+
     # ---- nerf_tpu ---------------------------------------------------------
     cfg = ClassicNeRFConfig(normalize_position=6.0)
     model = ClassicNeRF(cfg)
@@ -109,9 +115,10 @@ def main() -> None:
         jax_curve.append((step, float(value)))
         print(f"[nerf_tpu] step {step}: holdout PSNR {float(value):.2f} dB",
               flush=True)
-    results["nerf_tpu"] = {
-        "curve": jax_curve, "walltime_s": time.time() - t0,
-    }
+        results["nerf_tpu"] = {
+            "curve": jax_curve, "walltime_s": time.time() - t0,
+        }
+        checkpoint_results()
 
     # ---- torch v1.2 -------------------------------------------------------
     if not args.skip_torch:
@@ -171,9 +178,10 @@ def main() -> None:
                     f"({time.time() - t0:.0f}s)",
                     flush=True,
                 )
-        results["torch_v12"] = {
-            "curve": torch_curve, "walltime_s": time.time() - t0,
-        }
+                results["torch_v12"] = {
+                    "curve": torch_curve, "walltime_s": time.time() - t0,
+                }
+                checkpoint_results()
 
     print(json.dumps(results))
     if args.out:
