@@ -18,6 +18,7 @@ Usage:  python scripts/chip_validate.py [--skip-slow]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -50,6 +51,8 @@ def section(name):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-slow", action="store_true")
+    ap.add_argument("--sweep", action="store_true",
+                    help="tile sweeps for the hier train kernel + eval render")
     args = ap.parse_args()
 
     import jax
@@ -248,6 +251,90 @@ def main() -> None:
         return {"ms_per_frame": round(per_frame * 1e3, 1),
                 "rays_per_s": round(160_000 / per_frame)}
 
+    @section("sweep_hier_tiles")
+    def _sweep_hier():
+        # Tile sweep for the fused hierarchical fine kernel.  TILE_F and
+        # _SPLITS are module globals read at trace time, so patch + rebuild
+        # re-jits each point.  Keep the grid small: each point recompiles
+        # (~30 s) and times two chain lengths.
+        from nerf_tpu.ops.pallas import fused_hier
+
+        render = RenderConfig(num_coarse_samples=64, num_fine_samples=128,
+                              near=2.0, far=6.0, randomly_sample=True,
+                              density_noise_std=1.0)
+        base = (fused_hier.TILE_F, fused_hier._SPLITS)
+        points = {}
+        try:
+            for tile in (512, 1024, 2048):
+                for splits in (1, 2):
+                    fused_hier.TILE_F, fused_hier._SPLITS = tile, splits
+                    t = bench_train_step(model_bf16, render, 2048,
+                                         k1=4, k2=16, fused=True)
+                    points[f"tile{tile}_sp{splits}"] = {
+                        "ms_per_step": round(t * 1e3, 2),
+                        "rays_per_s": round(2048 / t),
+                    }
+                    print(f"  hier tile={tile} splits={splits}: "
+                          f"{2048 / t:,.0f} rays/s", file=sys.stderr,
+                          flush=True)
+        finally:
+            fused_hier.TILE_F, fused_hier._SPLITS = base
+        return {"points": points}
+
+    @section("sweep_eval_tiles")
+    def _sweep_eval():
+        # rays_per_tile sweep for the fused 400x400 hierarchical render.
+        from nerf_tpu.data.scenes import spherical_poses
+
+        model = ClassicNeRF(
+            ClassicNeRFConfig(normalize_position=6.0, use_pallas=True,
+                              compute_dtype="bfloat16")
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        pose_o, pose_r = spherical_poses(1, radius=4.0)
+        import jax.lax as lax
+
+        points = {}
+        for tile in (1024, 2048, 4096):
+            render = RenderConfig(
+                num_coarse_samples=64, num_fine_samples=128,
+                near=2.0, far=6.0, randomly_sample=False,
+                density_noise_std=0.0, rays_per_tile=tile,
+            )
+
+            def frame():
+                return model.render_image(
+                    params, None, pose_o, pose_r, 400, 400, 555.0, render
+                )
+
+            import jax.lax as lax
+
+            def frames(n):
+                def body(img, _):
+                    return frame(), ()
+                out, _ = lax.scan(body, jnp.zeros((1, 400, 400, 3)),
+                                  None, length=n)
+                return out
+
+            f2 = jax.jit(functools.partial(frames, 2))
+            f6 = jax.jit(functools.partial(frames, 6))
+            np.asarray(f2()); np.asarray(f6())
+            best2 = best6 = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter(); np.asarray(f2())
+                best2 = min(best2, time.perf_counter() - t0)
+                t0 = time.perf_counter(); np.asarray(f6())
+                best6 = min(best6, time.perf_counter() - t0)
+            per_frame = (best6 - best2) / 4
+            points[f"tile{tile}"] = {
+                "ms_per_frame": round(per_frame * 1e3, 1),
+                "rays_per_s": round(160_000 / per_frame),
+            }
+            print(f"  eval rays_per_tile={tile}: "
+                  f"{160_000 / per_frame:,.0f} rays/s", file=sys.stderr,
+                  flush=True)
+        return {"points": points}
+
     _fused_eval()
     _mip_fused()
     _coarse()
@@ -256,6 +343,9 @@ def main() -> None:
     _cond()
     if not args.skip_slow:
         _eval()
+    if args.sweep:
+        _sweep_hier()
+        _sweep_eval()
 
     print(json.dumps(RESULTS))
 

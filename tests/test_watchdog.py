@@ -145,15 +145,18 @@ class TestSupervisor:
         # can trigger the restart.
         assert (
             self._run(
-                tmp_path, "hang-once", timeout=30.0, progress_timeout=1.5
+                tmp_path, "hang-once", timeout=30.0, progress_timeout=5.0
             )
             == 1
         )
 
     def test_dead_beats_detected_by_heartbeat_timeout(self, tmp_path):
         # Rank 1's beat thread dies while the process lives (crashed-
-        # without-exit): heartbeat staleness catches it.
-        assert self._run(tmp_path, "dead-beat-once", timeout=1.0) == 1
+        # without-exit): heartbeat staleness catches it.  The timeout must
+        # exceed worst-case beat starvation on a loaded single-core box —
+        # bare interpreter startup alone is ~4.5 s here (sitecustomize),
+        # and a sibling rank's import can starve the beat thread that long.
+        assert self._run(tmp_path, "dead-beat-once", timeout=10.0) == 1
 
     def test_startup_hang_detected(self, tmp_path):
         # A worker that wedges BEFORE its first beat (e.g. stuck in
@@ -183,7 +186,9 @@ class TestSupervisor:
             num_processes=1,
             run_dir=str(tmp_path),
             heartbeat_timeout=30.0,
-            startup_timeout=3.0,
+            # Must exceed interpreter startup: ~4.5 s on this box for a
+            # bare `python -c pass` (sitecustomize), more under suite load.
+            startup_timeout=30.0,
             poll_interval=0.05,
             max_restarts=2,
         )
