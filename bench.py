@@ -116,10 +116,32 @@ def _retry(fn, attempts: int = 3):
             time.sleep(5.0)
 
 
+def _acquire_devices(timeout_s: float = 900.0):
+    """Fail fast if the backend never comes up.
+
+    The chip is reached through a relay; when the relay is down,
+    ``jax.devices()`` blocks forever (observed: >10 min with ~0 CPU time).
+    A hung bench is worse than a failed one — the driver would wait out the
+    whole round — so probe device acquisition on a daemon thread and exit
+    nonzero (printing nothing on stdout) if it does not complete in time.
+    """
+    import threading
+
+    out: list = []
+    t = threading.Thread(target=lambda: out.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not out:
+        log(f"bench: backend unavailable (jax.devices() hung >{timeout_s:.0f}s;"
+            " relay down?) — aborting without a measurement")
+        sys.exit(1)
+    return out[0]
+
+
 def main() -> None:
     from nerf_tpu import ClassicNeRF, ClassicNeRFConfig, RenderConfig
 
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {_acquire_devices()}")
     # Flagship config: fused Pallas MLP (weights + activations VMEM-resident).
     # bf16 compute: bit-identical forward on TPU (the MXU's DEFAULT precision
     # truncates f32 matmul inputs to bf16 regardless) but the bf16 encodings
