@@ -153,6 +153,22 @@ def main() -> None:
         return {"ms_per_step": round(t * 1e3, 2),
                 "rays_per_s": round(4096 / t)}
 
+    @section("train_noviewdirs")
+    def _noviewdirs():
+        # BASELINE.json config #1 as written: 64 coarse samples, NO
+        # view-direction conditioning (round-2 fused-kernel extension).
+        model = ClassicNeRF(
+            ClassicNeRFConfig(
+                normalize_position=6.0, use_pallas=True,
+                compute_dtype="bfloat16", use_viewdirs=False,
+            )
+        )
+        render = RenderConfig(num_coarse_samples=64, near=2.0, far=6.0,
+                              randomly_sample=True, density_noise_std=1.0)
+        t = bench_train_step(model, render, 4096, fused=True)
+        return {"ms_per_step": round(t * 1e3, 2),
+                "rays_per_s": round(4096 / t)}
+
     @section("train_hierarchical")
     def _hier():
         render = RenderConfig(num_coarse_samples=64, num_fine_samples=128,
@@ -251,6 +267,51 @@ def main() -> None:
         return {"ms_per_frame": round(per_frame * 1e3, 1),
                 "rays_per_s": round(160_000 / per_frame)}
 
+    @section("eval_render_ndc")
+    def _eval_ndc():
+        # BASELINE.json config #5: LLFF-style forward-facing scene, NDC
+        # rays, 504x378, full 64+128 coarse+fine pipeline.
+        from nerf_tpu.data.scenes import forward_facing_poses
+
+        model = ClassicNeRF(
+            ClassicNeRFConfig(normalize_position=1.0, use_pallas=True,
+                              compute_dtype="bfloat16")
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        pose_o, pose_r = forward_facing_poses(1)
+        h, w = 378, 504
+        render = RenderConfig(
+            num_coarse_samples=64, num_fine_samples=128, near=0.0, far=1.0,
+            randomly_sample=False, density_noise_std=0.0,
+            use_ndc=True, rays_per_tile=2048,
+        )
+
+        import jax.lax as lax
+
+        def frames(n):
+            def body(img, _):
+                img = model.render_image(
+                    params, None, pose_o, pose_r, h, w, 500.0, render
+                )
+                return img, ()
+
+            out, _ = lax.scan(body, jnp.zeros((1, h, w, 3)), None, length=n)
+            return out
+
+        f2 = jax.jit(lambda: frames(2))
+        f6 = jax.jit(lambda: frames(6))
+        f2().block_until_ready()
+        f6().block_until_ready()
+        best2 = best6 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter(); np.asarray(f2())
+            best2 = min(best2, time.perf_counter() - t0)
+            t0 = time.perf_counter(); np.asarray(f6())
+            best6 = min(best6, time.perf_counter() - t0)
+        per_frame = (best6 - best2) / 4
+        return {"ms_per_frame": round(per_frame * 1e3, 1),
+                "rays_per_s": round(h * w / per_frame)}
+
     @section("sweep_hier_tiles")
     def _sweep_hier():
         # Tile sweep for the fused hierarchical fine kernel.  TILE_F and
@@ -338,11 +399,13 @@ def main() -> None:
     _fused_eval()
     _mip_fused()
     _coarse()
+    _noviewdirs()
     _hier()
     _mip_train()
     _cond()
     if not args.skip_slow:
         _eval()
+        _eval_ndc()
     if args.sweep:
         _sweep_hier()
         _sweep_eval()
