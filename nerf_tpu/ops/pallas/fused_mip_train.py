@@ -171,7 +171,14 @@ def _mip_train_kernel(*refs, num_layers, compute_dtype, num_rows, cols,
     pos = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % num_rows
     lane = lane_ref[:]  # [1, n_seg] data-carried lane indices
     acc = None
-    loss_sum = jnp.zeros((1, 2), jnp.float32)  # [rgb_sse, seg_ce]
+    # Separate [1,1] accumulators per loss term: a lane-axis concat of two
+    # narrow arrays is one of the constructs the deployed Mosaic compiler
+    # cannot lower ("result/input offset mismatch on non-concat dimension",
+    # reproduced on v5e for the hierarchical kernel — fused_hier.py); the
+    # two terms are instead written with width-1 sliced stores, which are
+    # offset-safe.
+    sse_sum = jnp.zeros((1, 1), jnp.float32)  # rgb sse
+    ce_sum = jnp.zeros((1, 1), jnp.float32)  # seg ce
     for s in range(_SPLITS):
         sl = slice(s * rows, (s + 1) * rows)
         feat = feat_ref[sl, :]
@@ -225,7 +232,8 @@ def _mip_train_kernel(*refs, num_layers, compute_dtype, num_rows, cols,
         se = _seg_total(jnp.exp(z - m_tot), pos, num_rows)
         seg_out = m_tot + jnp.log(se)  # per-ray, broadcast to rows
         ce = jnp.sum(-seg_out, keepdims=True) / num_rows
-        loss_sum = loss_sum + jnp.concatenate([sse, ce], axis=-1)
+        sse_sum = sse_sum + sse
+        ce_sum = ce_sum + ce
 
         # ---- backward ----
         g_rgb = err * g_scale
@@ -254,7 +262,8 @@ def _mip_train_kernel(*refs, num_layers, compute_dtype, num_rows, cols,
         )
         acc = grads if acc is None else jax.tree.map(jnp.add, acc, grads)
 
-    loss_ref[...] += loss_sum
+    loss_ref[:, 0:1] += sse_sum
+    loss_ref[:, 1:2] += ce_sum
     for name in ("w_in", "w_dens", "w_col", "w_seg", "b_dens", "b_col",
                  "b_seg"):
         grad_refs[name][...] += acc[name]
