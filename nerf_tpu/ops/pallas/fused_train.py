@@ -80,13 +80,30 @@ _SPLITS = 2
 
 
 def _shift_down(v: Array, m: int) -> Array:
-    """Rows shifted toward higher indices by m (zeros shifted in)."""
+    """Rows shifted toward higher indices by m (zeros shifted in).
+
+    Narrow (sub-lane-width) arrays use rotate+mask: Mosaic's concatenate
+    lowering rejects a narrow sliced operand whose sublane offset differs
+    from the result's ("result/input offset mismatch on non-concat
+    dimension"), which the [rows, 3] rgb ladders in the mip kernel hit.
+    Full-width arrays keep the concat form the classic kernel was tuned on.
+    """
+    if v.shape[1] < 128:
+        row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        return jnp.where(row >= m, pltpu.roll(v, shift=m, axis=0), 0.0)
     return jnp.concatenate(
         [jnp.zeros((m, v.shape[1]), v.dtype), v[:-m, :]], axis=0
     )
 
 
 def _shift_up(v: Array, m: int) -> Array:
+    if v.shape[1] < 128:
+        row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        return jnp.where(
+            row < v.shape[0] - m,
+            pltpu.roll(v, shift=v.shape[0] - m, axis=0),
+            0.0,
+        )
     return jnp.concatenate(
         [v[m:, :], jnp.zeros((m, v.shape[1]), v.dtype)], axis=0
     )
