@@ -87,8 +87,11 @@ def _shift_down(v: Array, m: int) -> Array:
     from the result's ("result/input offset mismatch on non-concat
     dimension"), which the [rows, 3] rgb ladders in the mip kernel hit.
     Full-width arrays keep the concat form the classic kernel was tuned on.
+    ``pltpu.roll`` has no eager evaluation rule, so concrete (non-traced)
+    narrow inputs — only unit tests call these helpers outside a kernel —
+    take the concat form, which is numerically identical.
     """
-    if v.shape[1] < 128:
+    if v.shape[1] < 128 and isinstance(v, jax.core.Tracer):
         row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
         return jnp.where(row >= m, pltpu.roll(v, shift=m, axis=0), 0.0)
     return jnp.concatenate(
@@ -97,7 +100,7 @@ def _shift_down(v: Array, m: int) -> Array:
 
 
 def _shift_up(v: Array, m: int) -> Array:
-    if v.shape[1] < 128:
+    if v.shape[1] < 128 and isinstance(v, jax.core.Tracer):
         row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
         return jnp.where(
             row < v.shape[0] - m,

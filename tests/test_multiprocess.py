@@ -314,6 +314,9 @@ def _run_pair(tmp_path, port, phase):
     worker.write_text(_WORKER)
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # one CPU device per process
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = _repo + os.pathsep + env.get("PYTHONPATH", "")
+    # ^ workers import nerf_tpu; the package is not pip-installed here
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(r), str(port),
@@ -343,6 +346,9 @@ class TestTwoProcessSampleParallel:
         worker.write_text(_WORKER_SP)
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)  # one CPU device per process
+        _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = _repo + os.pathsep + env.get("PYTHONPATH", "")
+        # ^ workers import nerf_tpu; the package is not pip-installed here
         procs = [
             subprocess.Popen(
                 [sys.executable, str(worker), str(r), str(port)],
@@ -374,6 +380,9 @@ class TestTwoProcessTensorParallel:
         worker.write_text(_WORKER_TP)
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)  # one CPU device per process
+        _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = _repo + os.pathsep + env.get("PYTHONPATH", "")
+        # ^ workers import nerf_tpu; the package is not pip-installed here
         procs = [
             subprocess.Popen(
                 [sys.executable, str(worker), str(r), str(port)],
@@ -402,6 +411,9 @@ class TestTwoProcessShardedCheckpoint:
             worker.write_text(_WORKER_TP_CKPT)
             env = dict(os.environ)
             env.pop("XLA_FLAGS", None)  # one CPU device per process
+            _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            env["PYTHONPATH"] = _repo + os.pathsep + env.get("PYTHONPATH", "")
+            # ^ workers import nerf_tpu; the package is not pip-installed here
             procs = [
                 subprocess.Popen(
                     [sys.executable, str(worker), str(r), str(port),

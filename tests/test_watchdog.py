@@ -304,6 +304,9 @@ class TestMidStepFaultInjection:
         worker.write_text(_TRAIN_WORKER)
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)  # one CPU device per process
+        _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = _repo + os.pathsep + env.get("PYTHONPATH", "")
+        # ^ workers import nerf_tpu; the package is not pip-installed here
         ports = [_free_port(), _free_port(), _free_port()]
 
         sup = Supervisor(
