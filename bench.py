@@ -102,6 +102,43 @@ def bench_train_step(
     return t_step
 
 
+def _bench_eval_render(model) -> float:
+    """Seconds per 400x400 hierarchical (64+128) frame on the fused eval
+    path, chain-length differenced like the train configs."""
+    from nerf_tpu import RenderConfig
+    from nerf_tpu.data.scenes import spherical_poses
+
+    params = model.init(jax.random.PRNGKey(0))
+    pose_o, pose_r = spherical_poses(1, radius=4.0)
+    render = RenderConfig(
+        num_coarse_samples=64, num_fine_samples=128, near=2.0, far=6.0,
+        randomly_sample=False, density_noise_std=0.0, rays_per_tile=2048,
+    )
+
+    def frames(n):
+        def body(img, _):
+            img = model.render_image(
+                params, None, pose_o, pose_r, 400, 400, 555.0, render
+            )
+            return img, ()
+
+        out, _ = jax.lax.scan(
+            body, jnp.zeros((1, 400, 400, 3)), None, length=n
+        )
+        return out
+
+    f2 = jax.jit(lambda: frames(2))
+    f6 = jax.jit(lambda: frames(6))
+    np.asarray(f2()), np.asarray(f6())  # compile + warm
+    best2 = best6 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter(); np.asarray(f2())
+        best2 = min(best2, time.perf_counter() - t0)
+        t0 = time.perf_counter(); np.asarray(f6())
+        best6 = min(best6, time.perf_counter() - t0)
+    return (best6 - best2) / 4
+
+
 def _retry(fn, attempts: int = 3):
     """The tunneled chip's remote compile/execute can flake transiently;
     a failed driver bench records nothing for the round, so retry."""
@@ -184,6 +221,32 @@ def main() -> None:
             f"{2048 / t_h:,.0f} rays/s")
     except Exception:  # secondary metric must never sink the headline
         log("hierarchical secondary metric failed; continuing")
+
+    # Tertiary details (mip train, fused hierarchical eval render) so the
+    # driver-recorded BENCH tail carries every model family's number.
+    try:
+        from nerf_tpu import MipNeRF, MipNeRFConfig
+
+        mip = MipNeRF(MipNeRFConfig(use_pallas=True,
+                                    compute_dtype="bfloat16"))
+        render_mip = RenderConfig(
+            num_coarse_samples=64, randomly_sample=True,
+            density_noise_std=1.0,
+        )
+        t_m = _retry(
+            lambda: bench_train_step(mip, render_mip, batch, fused=True),
+            attempts=2,
+        )
+        log(f"mip train step, {batch} rays x 64 intervals (+seg CE): "
+            f"{batch / t_m:,.0f} rays/s")
+    except Exception:
+        log("mip tertiary metric failed; continuing")
+    try:
+        t_e = _retry(lambda: _bench_eval_render(model), attempts=2)
+        log(f"eval render, 400x400 x (64+128) hierarchical fused: "
+            f"{t_e * 1e3:,.1f} ms/frame = {160_000 / t_e:,.0f} rays/s")
+    except Exception:
+        log("eval tertiary metric failed; continuing")
 
     baseline = 158.0  # reference fwd+bwd+Adam rays/s on CPU (BASELINE.md)
     print(

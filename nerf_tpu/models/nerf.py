@@ -237,15 +237,15 @@ class ClassicNeRF:
 
     def _use_fused_union(self, render: RenderConfig, rays_o: Array) -> bool:
         """Gate for the fused union-compositing eval kernel: deterministic
-        (no density noise — eval renders), view-conditioned reference
-        architecture, flat ray batch.  The kernel is forward-only (no VJP),
-        so callers additionally opt in via ``render_rays(fused_eval=True)``
-        — ``render_image`` does; differentiable paths must not."""
+        (no density noise — eval renders), reference architecture family
+        (with or without the view branch), flat ray batch.  The kernel is
+        forward-only (no VJP), so callers additionally opt in via
+        ``render_rays(fused_eval=True)`` — ``render_image`` does;
+        differentiable paths must not."""
         from nerf_tpu.ops.pallas import fused_mlp
 
         return (
             self.cfg.use_pallas
-            and self.cfg.use_viewdirs
             and fused_mlp.supports_classic_config(self.cfg)
             and render.density_noise_std == 0.0
             and rays_o.ndim == 2

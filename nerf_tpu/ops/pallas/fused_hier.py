@@ -50,7 +50,7 @@ stage-mean MSE.  Reference behavior covered: the hierarchical contract at
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,9 +65,8 @@ from nerf_tpu.ops.pallas.fused_mlp import (
     _forward_chain,
     _full_spec,
     _interpret_default,
+    _pack_order,
     _tile_spec,
-    NUM_HH,
-    NUM_LAYERS,
     pack_classic_params,
 )
 from nerf_tpu.ops.pallas.fused_train import (
@@ -149,27 +148,33 @@ def _dot_exact(mask: Array, values: Array) -> Array:
 
 
 def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
-                 white_background, splits):
-    (xf_ref, df_ref, auxf_ref, auxc_ref, tfrow_ref, tcrow_ref,
-     ridfrow_ref, ridcrow_ref) = refs[0:8]
-    w = dict(zip(_PACK_ORDER, refs[8 : 8 + len(_PACK_ORDER)]))
-    outs = refs[8 + len(_PACK_ORDER) :]
-    (loss_ref, dw0_ref, dwx_ref, dwdin_ref, dwhh_ref, db_ref, dg_ref,
-     dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref,
-     gauxc_ref, gcrossc_ref) = outs
-    flat_refs = {
-        "w0": dw0_ref, "wx": dwx_ref, "wd_in": dwdin_ref,
-        "w_dens": dwdens_ref, "b_dens": dbdens_ref,
-        "w_col": dwcol_ref, "b_col": dbcol_ref,
-    }
-    w = {k: v[:] for k, v in w.items()}
+                 white_background, splits, has_view=True):
+    xf_ref = refs[0]
+    df_ref = refs[1] if has_view else None
+    k = 2 if has_view else 1
+    (auxf_ref, auxc_ref, tfrow_ref, tcrow_ref,
+     ridfrow_ref, ridcrow_ref) = refs[k : k + 6]
+    k += 6
+    order = _pack_order(has_view)
+    w = dict(zip(order, refs[k : k + len(order)]))
+    outs = list(refs[k + len(order) :])
+    loss_ref = outs.pop(0)
+    grad_refs = dict(zip(order, outs))
+    gauxc_ref = outs[len(order)]
+    gcrossc_ref = outs[len(order) + 1]
+    (dwhh_ref, db_ref, dg_ref, dbeta_ref) = (
+        grad_refs.pop("whh"), grad_refs.pop("b"), grad_refs.pop("g"),
+        grad_refs.pop("beta"),
+    )
+    flat_refs = grad_refs  # the non-stacked weight-grad refs, by name
+    w = {k2: v[:] for k2, v in w.items()}
     dt = compute_dtype
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         loss_ref[...] = jnp.zeros_like(loss_ref)
-        for ref in (dw0_ref, dwx_ref, dwdin_ref, dwhh_ref, db_ref, dg_ref,
-                    dbeta_ref, dwdens_ref, dbdens_ref, dwcol_ref, dbcol_ref):
+        for ref in (*flat_refs.values(), dwhh_ref, db_ref, dg_ref,
+                    dbeta_ref):
             ref[...] = jnp.zeros_like(ref)
 
     tile_f = xf_ref.shape[0]
@@ -185,7 +190,8 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
     for s in range(splits):
         fsl = slice(s * rows_f, (s + 1) * rows_f)
         csl = slice(s * rows_c, (s + 1) * rows_c)
-        x, d = xf_ref[fsl, :], df_ref[fsl, :]
+        x = xf_ref[fsl, :]
+        d = df_ref[fsl, :] if has_view else None
         auxf = auxf_ref[fsl, :]
         auxc = auxc_ref[csl, :]
         t_f = auxf[:, 0:1]
@@ -312,27 +318,33 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
     loss_ref[...] += loss_sum
     for name, ref in flat_refs.items():
         ref[...] += acc[name]
-    for i in range(NUM_LAYERS):
+    for i in range(w["b"].shape[0]):
         db_ref[i, :] += acc["b"][i]
         dg_ref[i, :] += acc["g"][i]
         dbeta_ref[i, :] += acc["beta"][i]
-    for j in range(NUM_HH):
+    for j in range(w["whh"].shape[0]):
         dwhh_ref[j, :, :] += acc["whh"][j]
 
 
 # Eval kernel output lanes per fine row: [rgb(cols), depth, acc].
 
 
-def _hier_eval_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, splits):
+def _hier_eval_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, splits,
+                      has_view=True):
     """Forward-only union compositing: fine MLP + order-free union with the
     reused coarse block, per-ray [rgb, depth, acc] broadcast to the fine
     rows.  The forward half of ``_hier_kernel`` — same chip-proven mask
     and ladder constructs — with no chain retention and no backward."""
-    (xf_ref, df_ref, auxf_ref, auxc_ref, tfrow_ref, tcrow_ref,
-     ridfrow_ref, ridcrow_ref) = refs[0:8]
-    w = dict(zip(_PACK_ORDER, refs[8 : 8 + len(_PACK_ORDER)]))
-    out_ref = refs[8 + len(_PACK_ORDER)]
-    w = {k: v[:] for k, v in w.items()}
+    xf_ref = refs[0]
+    df_ref = refs[1] if has_view else None
+    k = 2 if has_view else 1
+    (auxf_ref, auxc_ref, tfrow_ref, tcrow_ref,
+     ridfrow_ref, ridcrow_ref) = refs[k : k + 6]
+    k += 6
+    order = _pack_order(has_view)
+    w = dict(zip(order, refs[k : k + len(order)]))
+    out_ref = refs[k + len(order)]
+    w = {k2: v[:] for k2, v in w.items()}
     dt = compute_dtype
 
     tile_f = xf_ref.shape[0]
@@ -345,7 +357,8 @@ def _hier_eval_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, splits):
     for s in range(splits):
         fsl = slice(s * rows_f, (s + 1) * rows_f)
         csl = slice(s * rows_c, (s + 1) * rows_c)
-        x, d = xf_ref[fsl, :], df_ref[fsl, :]
+        x = xf_ref[fsl, :]
+        d = df_ref[fsl, :] if has_view else None
         auxf = auxf_ref[fsl, :]
         auxc = auxc_ref[csl, :]
         t_f = auxf[:, 0:1]
@@ -400,7 +413,7 @@ def _hier_eval_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, splits):
 def fine_union_eval_pallas(
     params: Dict[str, Any],
     x_enc: Array,
-    d_enc: Array,
+    d_enc: Optional[Array],
     t_coarse: Array,
     t_fine: Array,
     dist_f: Array,
@@ -424,10 +437,12 @@ def fine_union_eval_pallas(
     """
     if interpret is None:
         interpret = _interpret_default()
+    has_view = d_enc is not None
+    order = _pack_order(has_view)
     n_rays, s_fine = t_fine.shape[0], t_fine.shape[-1]
     s_coarse = t_coarse.shape[-1]
     cols = sig_c.shape[-1]
-    xe, de = x_enc.shape[-1], d_enc.shape[-1]
+    xe = x_enc.shape[-1]
     total_f = n_rays * s_fine
     total_c = n_rays * s_coarse
     r, splits = _pick_tiling(n_rays, s_fine, interpret)
@@ -435,7 +450,11 @@ def fine_union_eval_pallas(
     tile_f, tile_c = r * s_fine, r * s_coarse
 
     x2 = x_enc.reshape(total_f, xe).astype(compute_dtype)
-    d2 = d_enc.reshape(total_f, de).astype(compute_dtype)
+    d_ops, d_specs = (), ()
+    if has_view:
+        de = d_enc.shape[-1]
+        d_ops = (d_enc.reshape(total_f, de).astype(compute_dtype),)
+        d_specs = (_tile_spec(tile_f, de),)
     ray_ids = jnp.arange(n_rays, dtype=jnp.float32)
     rid_f = jnp.broadcast_to(ray_ids[:, None], (n_rays, s_fine))
     rid_c = jnp.broadcast_to(ray_ids[:, None], (n_rays, s_coarse))
@@ -465,7 +484,7 @@ def fine_union_eval_pallas(
     ridc_row = rid_c.reshape(1, total_c)
 
     packed = pack_classic_params(params)
-    weights = [packed[k] for k in _PACK_ORDER]
+    weights = [packed[k] for k in order]
 
     out = pl.pallas_call(
         functools.partial(
@@ -475,12 +494,13 @@ def fine_union_eval_pallas(
             s_fine=s_fine,
             cols=cols,
             splits=splits,
+            has_view=has_view,
         ),
         out_shape=jax.ShapeDtypeStruct((total_f, cols + 2), jnp.float32),
         grid=(grid,),
         in_specs=[
             _tile_spec(tile_f, xe),
-            _tile_spec(tile_f, de),
+            *d_specs,
             _tile_spec(tile_f, 5),
             _tile_spec(tile_c, cols + 4),
             pl.BlockSpec((1, tile_f), lambda i: (0, i)),
@@ -492,7 +512,7 @@ def fine_union_eval_pallas(
         out_specs=_tile_spec(tile_f, cols + 2),
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(x2, d2, aux_f, aux_c, tf_row, tc_row, ridf_row, ridc_row, *weights)
+    )(x2, *d_ops, aux_f, aux_c, tf_row, tc_row, ridf_row, ridc_row, *weights)
 
     per_ray = out.reshape(n_rays, s_fine, cols + 2)[:, 0, :]
     return (
@@ -521,7 +541,7 @@ def _pick_tiling(n_rays: int, s_fine: int, interpret: bool) -> Tuple[int, int]:
 def fine_stage_train_pallas(
     params: Dict[str, Any],
     x_enc: Array,
-    d_enc: Array,
+    d_enc: Optional[Array],
     t_coarse: Array,
     t_fine: Array,
     dist_f: Array,
@@ -556,10 +576,12 @@ def fine_stage_train_pallas(
     """
     if interpret is None:
         interpret = _interpret_default()
+    has_view = d_enc is not None
+    order = _pack_order(has_view)
     n_rays, s_fine = t_fine.shape[0], t_fine.shape[-1]
     s_coarse = t_coarse.shape[-1]
     cols = pixels.shape[-1]
-    xe, de = x_enc.shape[-1], d_enc.shape[-1]
+    xe = x_enc.shape[-1]
     total_f = n_rays * s_fine
     total_c = n_rays * s_coarse
     r, splits = _pick_tiling(n_rays, s_fine, interpret)
@@ -567,7 +589,11 @@ def fine_stage_train_pallas(
     tile_f, tile_c = r * s_fine, r * s_coarse
 
     x2 = x_enc.reshape(total_f, xe).astype(compute_dtype)
-    d2 = d_enc.reshape(total_f, de).astype(compute_dtype)
+    d_ops, d_specs = (), ()
+    if has_view:
+        de = d_enc.shape[-1]
+        d_ops = (d_enc.reshape(total_f, de).astype(compute_dtype),)
+        d_specs = (_tile_spec(tile_f, de),)
     pix_f = jnp.broadcast_to(pixels[:, None, :], (n_rays, s_fine, cols))
     pix_c = jnp.broadcast_to(pixels[:, None, :], (n_rays, s_coarse, cols))
     # Ray ids as f32 data (exact equality up to 2^24 rays) — the kernel
@@ -603,26 +629,18 @@ def fine_stage_train_pallas(
     ridc_row = rid_c.reshape(1, total_c)
 
     packed = pack_classic_params(params)
-    weights = [packed[k] for k in _PACK_ORDER]
-    wshapes = {k: packed[k].shape for k in _PACK_ORDER}
+    weights = [packed[k] for k in order]
 
-    out_shapes = [
-        jax.ShapeDtypeStruct((1, 1), jnp.float32),  # loss accumulator
-        jax.ShapeDtypeStruct(wshapes["w0"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["wx"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["wd_in"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["whh"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["b"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["g"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["beta"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["w_dens"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["b_dens"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["w_col"], jnp.float32),
-        jax.ShapeDtypeStruct(wshapes["b_col"], jnp.float32),
-        jax.ShapeDtypeStruct((total_c, _n_gaux(cols)), jnp.float32),
-        jax.ShapeDtypeStruct((total_f, 1), jnp.float32),
-    ]
-    out_specs = [_full_spec(s.shape) for s in out_shapes[:12]] + [
+    n_w = len(order)
+    out_shapes = (
+        [jax.ShapeDtypeStruct((1, 1), jnp.float32)]  # loss accumulator
+        + [jax.ShapeDtypeStruct(packed[k].shape, jnp.float32) for k in order]
+        + [
+            jax.ShapeDtypeStruct((total_c, _n_gaux(cols)), jnp.float32),
+            jax.ShapeDtypeStruct((total_f, 1), jnp.float32),
+        ]
+    )
+    out_specs = [_full_spec(s.shape) for s in out_shapes[: 1 + n_w]] + [
         _tile_spec(tile_c, _n_gaux(cols)),
         _tile_spec(tile_f, 1),
     ]
@@ -637,12 +655,13 @@ def fine_stage_train_pallas(
             g_scale=loss_weight * 2.0 / (cols * n_rays),
             white_background=white_background,
             splits=splits,
+            has_view=has_view,
         ),
         out_shape=out_shapes,
         grid=(grid,),
         in_specs=[
             _tile_spec(tile_f, xe),
-            _tile_spec(tile_f, de),
+            *d_specs,
             _tile_spec(tile_f, 5 + cols),
             _tile_spec(tile_c, 4 + 2 * cols),
             pl.BlockSpec((1, tile_f), lambda i: (0, i)),
@@ -654,15 +673,17 @@ def fine_stage_train_pallas(
         out_specs=out_specs,
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(x2, d2, aux_f, aux_c, tf_row, tc_row, ridf_row, ridc_row, *weights)
+    )(x2, *d_ops, aux_f, aux_c, tf_row, tc_row, ridf_row, ridc_row, *weights)
 
     loss = loss_weight * outs[0][0, 0] / n_rays
-    grads = unpack_classic_grads(dict(zip(_PACK_ORDER, outs[1:12])), params)
-    gaux = outs[12]
+    grads = unpack_classic_grads(
+        dict(zip(order, outs[1 : 1 + n_w])), params
+    )
+    gaux = outs[1 + n_w]
     g_alpha_c = gaux[:, 0].reshape(n_rays, s_coarse)
     g_pref = gaux[:, 1].reshape(n_rays, s_coarse)
     g_sig = gaux[:, 2 : 2 + cols].reshape(n_rays, s_coarse, cols)
-    g_cross = outs[13].reshape(n_rays, s_fine)
+    g_cross = outs[2 + n_w].reshape(n_rays, s_fine)
     return loss, grads, (g_alpha_c, g_pref, g_cross, g_sig)
 
 

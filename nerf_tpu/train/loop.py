@@ -235,18 +235,7 @@ def supports_fused_train(model, render: RenderConfig, bank=None) -> bool:
         return fused_mip_mlp.supports_mip_config(cfg)
     if not isinstance(cfg, ClassicNeRFConfig):
         return False
-    if not fused_mlp.supports_classic_config(cfg):
-        return False
-    if (
-        render is not None
-        and render.num_fine_samples > 0
-        and render.reuse_coarse_in_fine
-        and not cfg.use_viewdirs
-    ):
-        # The fused hierarchical-reuse kernel (fused_hier) covers the
-        # view-conditioned architecture only.
-        return False
-    return True
+    return fused_mlp.supports_classic_config(cfg)
 
 
 def make_fused_loss_and_grads(
@@ -285,8 +274,7 @@ def make_fused_loss_and_grads(
         raise ValueError(
             "fused train path requires the reference architecture family "
             "(ClassicNeRF, trunk_blocks=(4,4), and view_branch_depth=2 "
-            "when use_viewdirs; the hierarchical-reuse formulation "
-            "additionally requires use_viewdirs) or the HEAD MipNeRF"
+            "when use_viewdirs) or the HEAD MipNeRF"
         )
     cfg = model.cfg
     if isinstance(cfg, MipNeRFConfig):

@@ -93,7 +93,24 @@ class TestFusedUnionEval:
             rtol=5e-4, atol=1e-4,
         )
 
-    def test_gate_excludes_noise_and_no_viewdirs(self):
+    def test_no_viewdirs_matches_xla_reuse_path(self):
+        # The no-view-branch architecture (BASELINE config #1 wording) runs
+        # the fused union eval end to end too.
+        render = RenderConfig(
+            num_coarse_samples=16, num_fine_samples=24, near=2.0, far=6.0,
+            randomly_sample=False, density_noise_std=0.0,
+        )
+        outs = _render_pair(dict(use_viewdirs=False), render)
+        np.testing.assert_allclose(
+            np.asarray(outs[True].rgb), np.asarray(outs[False].rgb),
+            rtol=5e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[True].acc), np.asarray(outs[False].acc),
+            rtol=5e-4, atol=1e-4,
+        )
+
+    def test_gate_excludes_noise(self):
         model = ClassicNeRF(
             ClassicNeRFConfig(normalize_position=6.0, use_pallas=True)
         )
@@ -102,15 +119,9 @@ class TestFusedUnionEval:
             num_coarse_samples=8, num_fine_samples=8, density_noise_std=1.0
         )
         assert not model._use_fused_union(noisy, rays_o)
-        nv = ClassicNeRF(
-            ClassicNeRFConfig(
-                normalize_position=6.0, use_pallas=True, use_viewdirs=False
-            )
-        )
         ok = RenderConfig(
             num_coarse_samples=8, num_fine_samples=8, density_noise_std=0.0
         )
-        assert not nv._use_fused_union(ok, rays_o)
         assert model._use_fused_union(ok, rays_o)
 
     def test_render_image_matches(self):

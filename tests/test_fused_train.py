@@ -460,20 +460,52 @@ class TestFusedConfigVariants:
                               reuse_coarse_in_fine=False)
         self._run_pair(bank, model, render)
 
-    def test_no_viewdirs_hier_reuse_not_fused(self):
-        # fused_hier covers the view-conditioned architecture only; the
-        # gate must route this config to the general trainer.
+    def test_no_viewdirs_hier_reuse_matches_general(self, bank):
+        # fused_hier covers the no-view-branch architecture too (round-3
+        # extension): loss AND gradient parity against the general trainer.
+        from nerf_tpu.ops.pallas import fused_hier, fused_mlp
         from nerf_tpu.train.loop import supports_fused_train
 
-        model = ClassicNeRF(
-            ClassicNeRFConfig(normalize_position=6.0, use_viewdirs=False)
-        )
-        hier_reuse = RenderConfig(num_coarse_samples=8, num_fine_samples=8,
-                                  reuse_coarse_in_fine=True)
-        assert not supports_fused_train(model, hier_reuse)
-        assert supports_fused_train(
-            model, RenderConfig(num_coarse_samples=8)
-        )
+        prev = fused_mlp._LN_STATS
+        fused_mlp._LN_STATS = "twopass"
+        try:
+            model = ClassicNeRF(
+                ClassicNeRFConfig(
+                    normalize_position=6.0, use_viewdirs=False,
+                    use_pallas=True,
+                )
+            )
+            render = RenderConfig(
+                num_coarse_samples=8, num_fine_samples=8, near=2.0,
+                far=6.0, randomly_sample=True, density_noise_std=0.5,
+                reuse_coarse_in_fine=True,
+            )
+            assert supports_fused_train(model, render)
+            params = model.init(jax.random.PRNGKey(0))
+            batch = bank.gather(jnp.arange(32))
+            key = jax.random.PRNGKey(7)
+            loss_fn = make_loss_fn(model, render)
+            (loss_ref, _), grads_ref = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, key, batch)
+            loss_fused, grads_fused, _ = (
+                fused_hier.reuse_train_loss_and_grads(
+                    model, params, render, batch, key
+                )
+            )
+            np.testing.assert_allclose(
+                float(loss_fused), float(loss_ref), rtol=1e-5
+            )
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a) / (np.abs(np.asarray(b)).max() + 1e-12),
+                    np.asarray(b) / (np.abs(np.asarray(b)).max() + 1e-12),
+                    atol=2e-4,
+                ),
+                grads_fused, grads_ref,
+            )
+        finally:
+            fused_mlp._LN_STATS = prev
 
     def test_latent_conditioned_coarse_matches_general(self, scene):
         bank = self._latent_bank(scene)
