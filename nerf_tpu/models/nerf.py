@@ -314,17 +314,12 @@ class ClassicNeRF:
                 # union compositing in ONE Pallas kernel
                 # (ops/pallas/fused_hier.py::fine_union_eval_pallas) — no
                 # [.., S, S] transmittance masks in HBM, no per-point
-                # density/color kernel-boundary round trip.
+                # density/color kernel-boundary round trip.  Union interval
+                # lengths and the coarse-side quantities are computed
+                # IN-KERNEL from the raw coarse outputs.
                 from nerf_tpu.ops.pallas import fused_hier
 
                 t_cat = jnp.concatenate([t_coarse, t_fine], axis=-1)
-                dist_c_u, dist_f_u = compositing.union_dists_sorted(
-                    t_coarse, t_fine, rays_d
-                )
-                pre = fused_hier.coarse_union_precompute(
-                    density_c, color_c, t_coarse, t_fine,
-                    dist_c_u[..., 0],
-                )
                 _, xf_enc, df_enc = self._encode_inputs(
                     rays_o, rays_d, t_fine, states_x, states_d
                 )
@@ -334,9 +329,9 @@ class ClassicNeRF:
                     df_enc,
                     t_coarse,
                     t_fine,
-                    dist_f_u[..., 0],
-                    jnp.zeros_like(t_fine),
-                    *pre,
+                    density_c,
+                    color_c,
+                    jnp.linalg.norm(rays_d, axis=-1),
                     compute_dtype=jnp.dtype(self.cfg.compute_dtype),
                 )
                 if render.white_background:

@@ -34,9 +34,15 @@ ladder rationale):
   terms reaching ``log(1e-10) ~ -23``.
 * Everything coarse-side that does not depend on the fine MLP — union
   interval lengths, coarse alphas, the coarse-before-fine partial
-  transmittances, the coarse in-block prefix — is precomputed in XLA
-  (``coarse_union_precompute``) and fed per-row; its backward is plain XLA
-  autodiff via ``jax.vjp`` around the precompute.
+  transmittances, the coarse in-block prefix — is computed IN-KERNEL from
+  the raw (noised) coarse densities/colors, and the kernel emits the
+  ``dens_c``/``col_c`` cotangents directly.  Round 2 ran this as an XLA
+  precompute + ``jax.vjp``; the chip trace showed ~3 ms/step of XLA glue
+  (the [B, Sf, Sc] masks, their backward, and the layout copies feeding
+  the kernel), so round 3 moved it in-kernel: the masks already exist
+  there for the cross-block matmuls, and the extra VPU work (two masked
+  mins, one prefix ladder, two Dekker matmuls) is far cheaper than the
+  HBM round trips it replaces.
 
 Semantics mirror ``ClassicNeRF.render_rays``'s reuse branch
 (``models/nerf.py``): ``ops.compositing.weights_from_unsorted`` with the
@@ -57,7 +63,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nerf_tpu.ops import compositing, cumulative
+from nerf_tpu.ops import compositing
 from nerf_tpu.ops.pallas.fused_mlp import (
     _PACK_ORDER,
     _VMEM_LIMIT,
@@ -73,6 +79,7 @@ from nerf_tpu.ops.pallas.fused_train import (
     _seg_exclusive_prefix,
     _seg_exclusive_suffix,
     _seg_total,
+    _shift_up,
     unpack_classic_grads,
 )
 
@@ -83,52 +90,17 @@ Array = jax.Array
 TILE_F = 1024
 _SPLITS = 2
 
-# Coarse-cotangent lanes: [g_alpha_c, g_pref_own, g_sig x cols].
+# Coarse-cotangent lanes: [g_dens_c, g_col_c x cols].
 def _n_gaux(cols: int) -> int:
-    return 2 + cols
+    return 1 + cols
 
 
-def coarse_union_precompute(
-    dens_c: Array, col_c: Array, t_coarse: Array, t_fine: Array,
-    dist_c: Array,
-) -> Tuple[Array, Array, Array, Array]:
-    """XLA precompute of the coarse-side union-compositing quantities.
-
-    Args:
-        dens_c: ``[B, Sc, 1]`` NOISED coarse densities (the reuse path
-            carries the coarse stage's noise into the union —
-            ``models/nerf.py`` reuse branch).
-        col_c: ``[B, Sc, C]`` coarse color logits.
-        t_coarse / t_fine: ``[B, Sc]`` / ``[B, Sf]`` — both must be sorted
-            along the sample axis (stratified + inverse-CDF samplers emit
-            sorted), so index order realizes the (t, index) total order.
-        dist_c: ``[B, Sc]`` UNION interval lengths for the coarse slots
-            (``compositing.unsorted_dists`` on the concatenated t-set).
-
-    Returns ``(alpha_c, pref_own, cross_c, sig_c)``:
-        alpha_c ``[B, Sc]`` union-interval alphas;
-        pref_own ``[B, Sc]`` exclusive prefix of ``log(alpha_c + 1e-10)``
-            within the coarse block;
-        cross_c ``[B, Sf]`` sum of coarse log-alphas BEFORE each fine
-            sample (ties count the coarse sample first, matching
-            ``weights_from_unsorted``'s index tie-break — coarse indices
-            precede fine indices in the concatenated order);
-        sig_c ``[B, Sc, C]`` sigmoid colors.
-
-    Differentiable in (dens_c, col_c); the caller wraps it in ``jax.vjp``
-    and feeds the kernel's output cotangents back through it.
-    """
-    alpha_c = jnp.exp(-jax.nn.relu(dens_c[..., 0]) * dist_c)  # [B, Sc]
-    log_a_c = jnp.log(alpha_c + 1e-10)
-    csum = cumulative.cumsum(log_a_c, axis=-1)
-    pref_own = jnp.concatenate(
-        [jnp.zeros_like(csum[..., :1]), csum[..., :-1]], axis=-1
-    )
-    before = t_coarse[..., None, :] <= t_fine[..., :, None]  # [B, Sf, Sc]
-    cross_c = jnp.sum(
-        jnp.where(before, log_a_c[..., None, :], 0.0), axis=-1
-    )
-    return alpha_c, pref_own, cross_c, jax.nn.sigmoid(col_c)
+# Sentinel "no successor" distance for the in-kernel masked mins (f32 max
+# is ~3.4e38; anything above _FIN is treated as the reference's 1e10 far
+# pad).  jnp.inf is avoided: inf - inf in a dead lane would poison a
+# where() the compiler cannot prove dead.
+_INF = 1e38
+_FIN = 1e37
 
 
 def _dot_exact(mask: Array, values: Array) -> Array:
@@ -161,7 +133,6 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
     loss_ref = outs.pop(0)
     grad_refs = dict(zip(order, outs))
     gauxc_ref = outs[len(order)]
-    gcrossc_ref = outs[len(order) + 1]
     (dwhh_ref, db_ref, dg_ref, dbeta_ref) = (
         grad_refs.pop("whh"), grad_refs.pop("b"), grad_refs.pop("g"),
         grad_refs.pop("beta"),
@@ -195,24 +166,23 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         auxf = auxf_ref[fsl, :]
         auxc = auxc_ref[csl, :]
         t_f = auxf[:, 0:1]
-        dist_f = auxf[:, 1:2]
-        noise = auxf[:, 2:3]
-        cross_c = auxf[:, 3:4]
-        pix_f = auxf[:, 4 : 4 + cols]
-        # sig_c leads the coarse aux lanes: it is the one MULTI-lane field
-        # that feeds shift ladders and mask matmuls, and Mosaic cannot
-        # lower the ladder's concat when an operand carries a non-zero
+        noise = auxf[:, 1:2]
+        dnorm_f = auxf[:, 2:3]
+        pix_f = auxf[:, 3 : 3 + cols]
+        rid_f = auxf[:, 3 + cols : 4 + cols]
+        # col_c leads the coarse aux lanes: multi-lane fields that feed
+        # anything beyond elementwise math must sit at lane offset 0 —
+        # Mosaic cannot lower a ladder/matmul operand carrying a non-zero
         # lane offset ("result/input offset mismatch on non-concat
         # dimension", reproduced in isolation on v5e).  Width-1 slices and
         # elementwise-only fields (pix) are offset-safe — the coarse-only
         # fused_train kernel relies on exactly that.
-        sig_c = auxc[:, 0:cols]
+        col_c = auxc[:, 0:cols]
         t_c = auxc[:, cols : cols + 1]
-        alpha_c = auxc[:, cols + 1 : cols + 2]
-        pref_c = auxc[:, cols + 2 : cols + 3]
+        dens_c = auxc[:, cols + 1 : cols + 2]
+        dnorm_c = auxc[:, cols + 2 : cols + 3]
         pix_c = auxc[:, cols + 3 : 2 * cols + 3]
         rid_c = auxc[:, 2 * cols + 3 : 2 * cols + 4]
-        rid_f = auxf[:, 4 + cols : 5 + cols]
         t_f_row = tfrow_ref[:, fsl]  # [1, rows_f]
         t_c_row = tcrow_ref[:, csl]  # [1, rows_c]
         # Same-ray masks from ray ids carried as DATA, built ONLY from
@@ -230,6 +200,44 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         same_fc = (rid_c_row < rid_f + 0.5).astype(jnp.float32) * (
             (rid_f - 0.5) < rid_c_row
         ).astype(jnp.float32)  # [rows_f, rows_c]
+        # Fine-before-coarse is STRICT t comparison (fine indices follow
+        # coarse indices in the (t, index) total order, so a tie is NOT
+        # "before"); the coarse-at-or-before-fine masks are the exact
+        # same-ray complements — one subtract, no extra compares.
+        m_cf = same_cf * (t_f_row < t_c).astype(jnp.float32)
+        m_fc = same_fc * (t_f < t_c_row).astype(jnp.float32)
+        m_cf_le = same_cf - m_cf  # coarse <= fine, from the coarse side
+        m_fc_le = same_fc - m_fc  # coarse <= fine, from the fine side
+
+        # ---- union interval lengths (unsorted_dists specialized) -------
+        # Successor of a fine slot: its next in-block neighbour or the
+        # first same-ray coarse sample with t_c > t_f (strict — ties sort
+        # coarse-first); of a coarse slot: next neighbour or the first
+        # fine with t_f >= t_c.  Masked mins against the other block.
+        nxt_f = jnp.where(pos_f <= s_fine - 2, _shift_up(t_f, 1), _INF)
+        cand_f = jnp.where(
+            m_fc > 0.5, jnp.broadcast_to(t_c_row, m_fc.shape), _INF
+        )
+        succ_f = jnp.minimum(
+            nxt_f, jnp.min(cand_f, axis=1, keepdims=True)
+        )
+        dist_f = jnp.where(succ_f < _FIN, (succ_f - t_f) * dnorm_f, 1e10)
+        nxt_c = jnp.where(pos_c <= s_coarse - 2, _shift_up(t_c, 1), _INF)
+        cand_c = jnp.where(
+            m_cf_le > 0.5, jnp.broadcast_to(t_f_row, m_cf_le.shape), _INF
+        )
+        succ_c = jnp.minimum(
+            nxt_c, jnp.min(cand_c, axis=1, keepdims=True)
+        )
+        dist_c = jnp.where(succ_c < _FIN, (succ_c - t_c) * dnorm_c, 1e10)
+
+        # ---- coarse-side union quantities (in-kernel precompute) -------
+        alpha_c = jnp.exp(-jnp.maximum(dens_c, 0.0) * dist_c)
+        ac_eps = alpha_c + 1e-10
+        log_ac = jnp.log(ac_eps)
+        pref_c = _seg_exclusive_prefix(log_ac, pos_c, s_coarse)
+        cross_c = _dot_exact(m_fc_le, log_ac)  # [rows_f, 1]
+        sig_c = jax.nn.sigmoid(col_c)
 
         # ---- fine forward (chain kept VMEM-resident) ----
         chain, dens_raw, col = _forward_chain(x, d, w, dt, keep=True)
@@ -243,15 +251,10 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         sig_f = jax.nn.sigmoid(col)
 
         # ---- union compositing with the reused coarse block ----
-        # Fine-before-coarse is STRICT t comparison (fine indices follow
-        # coarse indices, so a tie is NOT "before" — weights_from_unsorted
-        # total order).
-        # Mosaic cannot lower LANE-axis concats of narrow arrays
-        # ("result/input offset mismatch on non-concat dimension"), so the
+        # Mosaic cannot lower LANE-axis concats of narrow arrays, so the
         # cross-block sums run as separate mask matmuls per operand
         # instead of one packed-RHS matmul — same cost: every k <= 128
         # result pads to 128 lanes anyway.
-        m_cf = same_cf * (t_f_row < t_c).astype(jnp.float32)
         cross_f = _dot_exact(m_cf, log_af)  # [rows_c, 1]
         t_coarse_full = jnp.exp(pref_c + cross_f)
         w_c = (1.0 - alpha_c) * t_coarse_full
@@ -289,7 +292,6 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         g_logt_c = (1.0 - alpha_c) * t_coarse_full * g_wc
         # cross_f's cotangent scatters back to every fine log-alpha below
         # the coarse sample: the transposed t-mask.
-        m_fc = same_fc * (t_f < t_c_row).astype(jnp.float32)
         g_laf = _dot_exact(m_fc, g_logt_c)
         g_alpha_f = -t_fine_full * g_wf
         g_logt_f = (1.0 - alpha_f) * t_fine_full * g_wf
@@ -298,12 +300,20 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         g_dens = g_alpha_f * (-dist_f * alpha_f) * (dens > 0.0).astype(
             jnp.float32
         )
+        # Coarse-side backward, all the way to (dens_c, col_c): pref_c
+        # scatters as the in-block exclusive suffix, cross_c as the
+        # transposed coarse<=fine mask against every fine row's g_logt_f.
+        g_logac = _seg_exclusive_suffix(g_logt_c, pos_c, s_coarse)
+        g_logac = g_logac + _dot_exact(m_cf_le, g_logt_f)
+        g_alpha_c = g_alpha_c + g_logac / ac_eps
+        g_dens_c = g_alpha_c * (-dist_c * alpha_c) * (
+            dens_c > 0.0
+        ).astype(jnp.float32)
+        g_col_c = sig_c * (1.0 - sig_c) * g_sigc
 
         # Sliced stores, not a lane concat (same Mosaic limitation).
-        gauxc_ref[csl, 0:1] = g_alpha_c
-        gauxc_ref[csl, 1:2] = g_logt_c
-        gauxc_ref[csl, 2 : 2 + cols] = g_sigc
-        gcrossc_ref[fsl, :] = g_logt_f
+        gauxc_ref[csl, 0:1] = g_dens_c
+        gauxc_ref[csl, 1 : 1 + cols] = g_col_c
 
         # MLP backward with NO forward recompute; grads flow only to
         # params (the fine encodings carry no parameter dependence).
@@ -362,16 +372,14 @@ def _hier_eval_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, splits,
         auxf = auxf_ref[fsl, :]
         auxc = auxc_ref[csl, :]
         t_f = auxf[:, 0:1]
-        dist_f = auxf[:, 1:2]
-        noise = auxf[:, 2:3]
-        cross_c = auxf[:, 3:4]
-        rid_f = auxf[:, 4:5]
-        # sig_c leads the coarse lanes (Mosaic lane-offset rule — see
+        dnorm_f = auxf[:, 1:2]
+        rid_f = auxf[:, 2:3]
+        # col_c leads the coarse lanes (Mosaic lane-offset rule — see
         # _hier_kernel).
-        sig_c = auxc[:, 0:cols]
+        col_c = auxc[:, 0:cols]
         t_c = auxc[:, cols : cols + 1]
-        alpha_c = auxc[:, cols + 1 : cols + 2]
-        pref_c = auxc[:, cols + 2 : cols + 3]
+        dens_c = auxc[:, cols + 1 : cols + 2]
+        dnorm_c = auxc[:, cols + 2 : cols + 3]
         rid_c = auxc[:, cols + 3 : cols + 4]
         t_f_row = tfrow_ref[:, fsl]
         t_c_row = tcrow_ref[:, csl]
@@ -383,17 +391,43 @@ def _hier_eval_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, splits,
         same_fc = (rid_c_row < rid_f + 0.5).astype(jnp.float32) * (
             (rid_f - 0.5) < rid_c_row
         ).astype(jnp.float32)
+        m_cf = same_cf * (t_f_row < t_c).astype(jnp.float32)
+        m_fc = same_fc * (t_f < t_c_row).astype(jnp.float32)
+        m_cf_le = same_cf - m_cf
+        m_fc_le = same_fc - m_fc
+
+        # Union interval lengths + coarse-side quantities in-kernel (the
+        # forward half of _hier_kernel's precompute).
+        nxt_f = jnp.where(pos_f <= s_fine - 2, _shift_up(t_f, 1), _INF)
+        cand_f = jnp.where(
+            m_fc > 0.5, jnp.broadcast_to(t_c_row, m_fc.shape), _INF
+        )
+        succ_f = jnp.minimum(
+            nxt_f, jnp.min(cand_f, axis=1, keepdims=True)
+        )
+        dist_f = jnp.where(succ_f < _FIN, (succ_f - t_f) * dnorm_f, 1e10)
+        nxt_c = jnp.where(pos_c <= s_coarse - 2, _shift_up(t_c, 1), _INF)
+        cand_c = jnp.where(
+            m_cf_le > 0.5, jnp.broadcast_to(t_f_row, m_cf_le.shape), _INF
+        )
+        succ_c = jnp.minimum(
+            nxt_c, jnp.min(cand_c, axis=1, keepdims=True)
+        )
+        dist_c = jnp.where(succ_c < _FIN, (succ_c - t_c) * dnorm_c, 1e10)
+        alpha_c = jnp.exp(-jnp.maximum(dens_c, 0.0) * dist_c)
+        log_ac = jnp.log(alpha_c + 1e-10)
+        pref_c = _seg_exclusive_prefix(log_ac, pos_c, s_coarse)
+        cross_c = _dot_exact(m_fc_le, log_ac)
+        sig_c = jax.nn.sigmoid(col_c)
 
         _, dens_raw, col = _forward_chain(x, d, w, dt)
-        dens = dens_raw + noise
-        alpha_f = jnp.exp(-jnp.maximum(dens, 0.0) * dist_f)
+        alpha_f = jnp.exp(-jnp.maximum(dens_raw, 0.0) * dist_f)
         log_af = jnp.log(alpha_f + 1e-10)
         pref_f = _seg_exclusive_prefix(log_af, pos_f, s_fine)
         t_fine_full = jnp.exp(cross_c + pref_f)
         w_f = (1.0 - alpha_f) * t_fine_full
         sig_f = jax.nn.sigmoid(col)
 
-        m_cf = same_cf * (t_f_row < t_c).astype(jnp.float32)
         cross_f = _dot_exact(m_cf, log_af)
         t_coarse_full = jnp.exp(pref_c + cross_f)
         w_c = (1.0 - alpha_c) * t_coarse_full
@@ -416,22 +450,20 @@ def fine_union_eval_pallas(
     d_enc: Optional[Array],
     t_coarse: Array,
     t_fine: Array,
-    dist_f: Array,
-    noise_f: Array,
-    alpha_c: Array,
-    pref_own: Array,
-    cross_c: Array,
-    sig_c: Array,
+    dens_c: Array,
+    col_c: Array,
+    dnorm: Array,
     compute_dtype=jnp.float32,
     interpret: bool | None = None,
 ) -> Tuple[Array, Array, Array]:
     """Forward-only fused fine stage for the hierarchical reuse renderer.
 
-    Same inputs as ``fine_stage_train_pallas`` minus the pixels (no loss):
-    fine MLP + order-free union compositing with the reused coarse block
-    in ONE kernel, replacing the eval path's two-kernel MLP plus the XLA
-    ``weights_from_unsorted`` O(S^2) transmittance (whose [B, S, S] masks
-    dominate eval HBM traffic at 64+128).
+    Takes the raw coarse outputs directly (``dens_c [B, Sc, 1]``,
+    ``col_c [B, Sc, C]``, per-ray ``dnorm = ||rays_d|| [B]``): union
+    interval lengths, coarse alphas/prefixes and the cross-block
+    transmittances are all computed in-kernel — no [B, Sf, Sc] XLA masks,
+    no precompute round trip.  Fine MLP + order-free union compositing in
+    ONE kernel.
 
     Returns ``(rgb [B, C], depth [B], acc [B])`` over the union.
     """
@@ -441,7 +473,7 @@ def fine_union_eval_pallas(
     order = _pack_order(has_view)
     n_rays, s_fine = t_fine.shape[0], t_fine.shape[-1]
     s_coarse = t_coarse.shape[-1]
-    cols = sig_c.shape[-1]
+    cols = col_c.shape[-1]
     xe = x_enc.shape[-1]
     total_f = n_rays * s_fine
     total_c = n_rays * s_coarse
@@ -458,22 +490,22 @@ def fine_union_eval_pallas(
     ray_ids = jnp.arange(n_rays, dtype=jnp.float32)
     rid_f = jnp.broadcast_to(ray_ids[:, None], (n_rays, s_fine))
     rid_c = jnp.broadcast_to(ray_ids[:, None], (n_rays, s_coarse))
+    dnorm_f = jnp.broadcast_to(dnorm[:, None], (n_rays, s_fine))
+    dnorm_c = jnp.broadcast_to(dnorm[:, None], (n_rays, s_coarse))
     aux_f = jnp.concatenate(
         [
             t_fine[..., None],
-            dist_f[..., None],
-            noise_f[..., None],
-            cross_c[..., None],
+            dnorm_f[..., None],
             rid_f[..., None],
         ],
         axis=-1,
-    ).reshape(total_f, 5)
+    ).reshape(total_f, 3)
     aux_c = jnp.concatenate(
         [
-            sig_c,
+            col_c,
             t_coarse[..., None],
-            alpha_c[..., None],
-            pref_own[..., None],
+            dens_c,
+            dnorm_c[..., None],
             rid_c[..., None],
         ],
         axis=-1,
@@ -501,7 +533,7 @@ def fine_union_eval_pallas(
         in_specs=[
             _tile_spec(tile_f, xe),
             *d_specs,
-            _tile_spec(tile_f, 5),
+            _tile_spec(tile_f, 3),
             _tile_spec(tile_c, cols + 4),
             pl.BlockSpec((1, tile_f), lambda i: (0, i)),
             pl.BlockSpec((1, tile_c), lambda i: (0, i)),
@@ -544,35 +576,36 @@ def fine_stage_train_pallas(
     d_enc: Optional[Array],
     t_coarse: Array,
     t_fine: Array,
-    dist_f: Array,
+    dens_c: Array,
+    col_c: Array,
+    dnorm: Array,
     noise_f: Array,
-    alpha_c: Array,
-    pref_own: Array,
-    cross_c: Array,
-    sig_c: Array,
     pixels: Array,
     compute_dtype=jnp.float32,
     white_background: bool = False,
     loss_weight: float = 1.0,
     interpret: bool | None = None,
-) -> Tuple[Array, Dict[str, Any], Tuple[Array, Array, Array, Array]]:
+) -> Tuple[Array, Dict[str, Any], Tuple[Array, Array]]:
     """One fused evaluation of the disjoint-stage fine objective.
 
     Args:
         params: ClassicNeRF pytree.
         x_enc / d_enc: ``[B, Sf, XE] / [B, Sf, DE]`` FINE-point encodings.
         t_coarse / t_fine: sorted t-sets ``[B, Sc] / [B, Sf]``.
-        dist_f: ``[B, Sf]`` union interval lengths for the fine slots
-            (``compositing.unsorted_dists`` tail).
+        dens_c: ``[B, Sc, 1]`` NOISED coarse densities (the reuse path
+            carries the coarse stage's noise into the union).
+        col_c: ``[B, Sc, C]`` coarse color logits.
+        dnorm: ``[B]`` per-ray ``||rays_d||`` (interval-length scale).
         noise_f: ``[B, Sf]`` pre-drawn density noise (zeros if noiseless).
-        alpha_c, pref_own, cross_c, sig_c: ``coarse_union_precompute``
-            outputs.
         pixels: ``[B, C]`` targets.
         loss_weight: stage weight (0.5 under the stage-mean MSE).
 
-    Returns ``(loss, grads, (g_alpha_c, g_pref_own, g_cross_c, g_sig_c))``
-    — the weighted fine-stage loss, fine-point parameter gradients, and
-    the cotangents to feed back through ``coarse_union_precompute``'s vjp.
+    Union interval lengths and every coarse-side union quantity are
+    computed in-kernel from these raw inputs, and the backward emits the
+    ``(g_dens_c, g_col_c)`` cotangents directly — no XLA precompute, no
+    ``jax.vjp`` wrapper, no [B, Sf, Sc] HBM masks.
+
+    Returns ``(loss, grads, (g_dens_c [B, Sc, 1], g_col_c [B, Sc, C]))``.
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -601,23 +634,24 @@ def fine_stage_train_pallas(
     ray_ids = jnp.arange(n_rays, dtype=jnp.float32)
     rid_f = jnp.broadcast_to(ray_ids[:, None], (n_rays, s_fine))
     rid_c = jnp.broadcast_to(ray_ids[:, None], (n_rays, s_coarse))
+    dnorm_f = jnp.broadcast_to(dnorm[:, None], (n_rays, s_fine))
+    dnorm_c = jnp.broadcast_to(dnorm[:, None], (n_rays, s_coarse))
     aux_f = jnp.concatenate(
         [
             t_fine[..., None],
-            dist_f[..., None],
             noise_f[..., None],
-            cross_c[..., None],
+            dnorm_f[..., None],
             pix_f,
             rid_f[..., None],
         ],
         axis=-1,
-    ).reshape(total_f, 5 + cols)
+    ).reshape(total_f, 4 + cols)
     aux_c = jnp.concatenate(
         [
-            sig_c,
+            col_c,
             t_coarse[..., None],
-            alpha_c[..., None],
-            pref_own[..., None],
+            dens_c,
+            dnorm_c[..., None],
             pix_c,
             rid_c[..., None],
         ],
@@ -635,14 +669,10 @@ def fine_stage_train_pallas(
     out_shapes = (
         [jax.ShapeDtypeStruct((1, 1), jnp.float32)]  # loss accumulator
         + [jax.ShapeDtypeStruct(packed[k].shape, jnp.float32) for k in order]
-        + [
-            jax.ShapeDtypeStruct((total_c, _n_gaux(cols)), jnp.float32),
-            jax.ShapeDtypeStruct((total_f, 1), jnp.float32),
-        ]
+        + [jax.ShapeDtypeStruct((total_c, _n_gaux(cols)), jnp.float32)]
     )
     out_specs = [_full_spec(s.shape) for s in out_shapes[: 1 + n_w]] + [
         _tile_spec(tile_c, _n_gaux(cols)),
-        _tile_spec(tile_f, 1),
     ]
 
     outs = pl.pallas_call(
@@ -662,7 +692,7 @@ def fine_stage_train_pallas(
         in_specs=[
             _tile_spec(tile_f, xe),
             *d_specs,
-            _tile_spec(tile_f, 5 + cols),
+            _tile_spec(tile_f, 4 + cols),
             _tile_spec(tile_c, 4 + 2 * cols),
             pl.BlockSpec((1, tile_f), lambda i: (0, i)),
             pl.BlockSpec((1, tile_c), lambda i: (0, i)),
@@ -680,11 +710,9 @@ def fine_stage_train_pallas(
         dict(zip(order, outs[1 : 1 + n_w])), params
     )
     gaux = outs[1 + n_w]
-    g_alpha_c = gaux[:, 0].reshape(n_rays, s_coarse)
-    g_pref = gaux[:, 1].reshape(n_rays, s_coarse)
-    g_sig = gaux[:, 2 : 2 + cols].reshape(n_rays, s_coarse, cols)
-    g_cross = outs[2 + n_w].reshape(n_rays, s_fine)
-    return loss, grads, (g_alpha_c, g_pref, g_cross, g_sig)
+    g_dens_c = gaux[:, 0:1].reshape(n_rays, s_coarse, 1)
+    g_col_c = gaux[:, 1 : 1 + cols].reshape(n_rays, s_coarse, cols)
+    return loss, grads, (g_dens_c, g_col_c)
 
 
 def reuse_train_loss_and_grads(
@@ -771,19 +799,7 @@ def reuse_train_loss_and_grads(
         randomly_sample=render.randomly_sample,
     )
 
-    # -- union precompute + fused fine stage ------------------------------
-    dist_c_u, dist_f_u = compositing.union_dists_sorted(
-        t_coarse, t_fine, rays_d
-    )
-    dist_c_u = dist_c_u[..., 0]
-    dist_f_u = dist_f_u[..., 0]
-    pre, vjp_pre = jax.vjp(
-        lambda dc, cc: coarse_union_precompute(
-            dc, cc, t_coarse, t_fine, dist_c_u
-        ),
-        dens_c,
-        col_c,
-    )
+    # -- fused fine stage (union dists + coarse precompute in-kernel) -----
     xf_enc, df_enc = model.encode_inputs_flat(
         rays_o, rays_d, t_fine, states_x, states_d
     )
@@ -791,15 +807,17 @@ def reuse_train_loss_and_grads(
         noise_f = std * jax.random.normal(k_noise_f, (n_rays, sf))
     else:
         noise_f = jnp.zeros((n_rays, sf), rays_o.dtype)
-    loss_f, grads_f, g_pre = fine_stage_train_pallas(
+    dnorm = jnp.linalg.norm(rays_d, axis=-1)
+    loss_f, grads_f, (g_dens_c2, g_col_c2) = fine_stage_train_pallas(
         params,
         xf_enc,
         df_enc,
         t_coarse,
         t_fine,
-        dist_f_u,
+        dens_c,
+        col_c,
+        dnorm,
         noise_f,
-        *pre,
         pixels,
         compute_dtype=dtype,
         white_background=render.white_background,
@@ -807,7 +825,6 @@ def reuse_train_loss_and_grads(
     )
 
     # -- one coarse backward with the SUMMED cotangents -------------------
-    g_dens_c2, g_col_c2 = vjp_pre(g_pre)
     (grads_c,) = vjp_c((g_dens_c + g_dens_c2, g_col_c + g_col_c2))
     grads = jax.tree.map(jnp.add, grads_f, grads_c)
     loss = loss_c + loss_f
