@@ -101,6 +101,10 @@ def _mip_bwd_slice(feat, g_dens, g_col, g_seg, heads, w, num_layers, dt,
     (no recompute) and the output-head cotangent composed from the three
     per-head pieces (separate matmuls — no lane concat).
 
+    ``g_seg=None`` (segmentation loss disabled, a STATIC property of the
+    objective) statically elides the seg-head matmuls and gradient slabs —
+    their output refs stay at the zeros they were initialized to.
+
     Returns grads keyed like ``fused_mip_mlp._bwd_slice`` but with
     ``w_out``/``b_out`` replaced by per-head entries.
     """
@@ -108,17 +112,15 @@ def _mip_bwd_slice(feat, g_dens, g_col, g_seg, heads, w, num_layers, dt,
     grads = {
         "b_dens": jnp.sum(g_dens, axis=0, keepdims=True),
         "b_col": jnp.sum(g_col, axis=0, keepdims=True),
-        "b_seg": jnp.sum(g_seg, axis=0, keepdims=True),
         "b": [None] * num_layers,
         "g": [None] * num_layers,
         "beta": [None] * num_layers,
         "whh": [None] * (num_layers - 1),
     }
-    g_h = (
-        _dot_t(g_dens, w_dens, dt)
-        + _dot_t(g_col, w_col, dt)
-        + _dot_t(g_seg, w_seg, dt)
-    )
+    g_h = _dot_t(g_dens, w_dens, dt) + _dot_t(g_col, w_col, dt)
+    if g_seg is not None:
+        grads["b_seg"] = jnp.sum(g_seg, axis=0, keepdims=True)
+        g_h = g_h + _dot_t(g_seg, w_seg, dt)
 
     dz_next = None
     for i in range(num_layers - 1, -1, -1):
@@ -133,7 +135,8 @@ def _mip_bwd_slice(feat, g_dens, g_col, g_seg, heads, w, num_layers, dt,
         if i == num_layers - 1:
             grads["w_dens"] = _dot_tn(h_i, g_dens, dt)
             grads["w_col"] = _dot_tn(h_i, g_col, dt)
-            grads["w_seg"] = _dot_tn(h_i, g_seg, dt)
+            if g_seg is not None:
+                grads["w_seg"] = _dot_tn(h_i, g_seg, dt)
         else:
             grads["whh"][i] = _dot_tn(h_i, dz_next, dt)
         dz_next = dz
@@ -215,32 +218,37 @@ def _mip_train_kernel(*refs, num_layers, compute_dtype, num_rows, cols,
         )
 
         # ---- log-space segmentation CE (reference model.py:661-663) ----
-        # Label one-hot from paired broadcast compares (no f32 ==).
-        onehot = (lane < label + 0.5).astype(jnp.float32) * (
-            (label - 0.5) < lane
-        ).astype(jnp.float32)  # [rows, n_seg]
-        lane_max = jnp.max(seg, axis=-1, keepdims=True)
-        lse = lane_max + jnp.log(
-            jnp.sum(jnp.exp(seg - lane_max), axis=-1, keepdims=True)
-        )
-        s_label = (
-            jnp.sum(seg * onehot, axis=-1, keepdims=True) - lse
-        )  # log_softmax at the label channel
-        lw = jnp.log(w_i + 1e-10)
-        z = lw + s_label
-        m_tot = _seg_total_max(z, pos, num_rows)
-        se = _seg_total(jnp.exp(z - m_tot), pos, num_rows)
-        seg_out = m_tot + jnp.log(se)  # per-ray, broadcast to rows
-        ce = jnp.sum(-seg_out, keepdims=True) / num_rows
+        # gs_seg is STATIC (baked via functools.partial): with the seg loss
+        # disabled the whole CE forward (one-hot masks, lse, two extra
+        # ladders) and its backward are elided at trace time — measured
+        # VPU work the rgb-only objective should not pay.
         sse_sum = sse_sum + sse
-        ce_sum = ce_sum + ce
+        if gs_seg != 0.0:
+            # Label one-hot from paired broadcast compares (no f32 ==).
+            onehot = (lane < label + 0.5).astype(jnp.float32) * (
+                (label - 0.5) < lane
+            ).astype(jnp.float32)  # [rows, n_seg]
+            lane_max = jnp.max(seg, axis=-1, keepdims=True)
+            lse = lane_max + jnp.log(
+                jnp.sum(jnp.exp(seg - lane_max), axis=-1, keepdims=True)
+            )
+            s_label = (
+                jnp.sum(seg * onehot, axis=-1, keepdims=True) - lse
+            )  # log_softmax at the label channel
+            lw = jnp.log(w_i + 1e-10)
+            z = lw + s_label
+            m_tot = _seg_total_max(z, pos, num_rows)
+            se = _seg_total(jnp.exp(z - m_tot), pos, num_rows)
+            seg_out = m_tot + jnp.log(se)  # per-ray, broadcast to rows
+            ce = jnp.sum(-seg_out, keepdims=True) / num_rows
+            ce_sum = ce_sum + ce
 
         # ---- backward ----
         g_rgb = err * g_scale
         g_col = w_i * sig * (1.0 - sig) * g_rgb
         off = 1.0 if white_background else 0.0
         g_w = jnp.sum((sig - off) * g_rgb, axis=-1, keepdims=True)
-        g_seg = jnp.zeros_like(seg)
+        g_seg = None
         if gs_seg != 0.0:
             p = jnp.exp(z - seg_out)  # sample-softmax at the label channel
             g_z = -gs_seg * p  # dCE/dz_i
@@ -263,9 +271,10 @@ def _mip_train_kernel(*refs, num_layers, compute_dtype, num_rows, cols,
         acc = grads if acc is None else jax.tree.map(jnp.add, acc, grads)
 
     loss_ref[:, 0:1] += sse_sum
-    loss_ref[:, 1:2] += ce_sum
-    for name in ("w_in", "w_dens", "w_col", "w_seg", "b_dens", "b_col",
-                 "b_seg"):
+    if gs_seg != 0.0:
+        loss_ref[:, 1:2] += ce_sum
+    seg_names = ("w_seg", "b_seg") if gs_seg != 0.0 else ()
+    for name in ("w_in", "w_dens", "w_col", "b_dens", "b_col", *seg_names):
         grad_refs[name][...] += acc[name]
     for i in range(num_layers):
         grad_refs["b"][i, :] += acc["b"][i]
