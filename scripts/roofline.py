@@ -91,12 +91,102 @@ def vpu_ops_per_point(cfg) -> int:
     the dz recombination (~4).  Compositing/loss is ~60 ops/point total
     (exp/log ladders over S have log-depth but touch every row)."""
     h = cfg.hidden_size
-    layers = sum(cfg.trunk_blocks) + (
-        cfg.view_branch_depth if cfg.use_viewdirs else 0
-    )
+    if hasattr(cfg, "trunk_blocks"):
+        layers = sum(cfg.trunk_blocks) + (
+            cfg.view_branch_depth if cfg.use_viewdirs else 0
+        )
+    else:  # MipNeRFConfig
+        layers = cfg.num_hidden_layers
     per_layer_fwd = 7 * h
     per_layer_bwd = 11 * h
     return layers * (per_layer_fwd + per_layer_bwd) + 60
+
+
+def trace_eval(args) -> None:
+    """Per-kernel device-time breakdown of the fused hierarchical eval
+    render (400x400, 64+128) — the measured path behind BASELINE.md's eval
+    rows.  Prints the table + JSON; writes ``--out`` when given a
+    non-default name."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import time as _time
+
+    from nerf_tpu import ClassicNeRF, ClassicNeRFConfig, RenderConfig
+    from nerf_tpu.data.scenes import spherical_poses
+
+    model = ClassicNeRF(
+        ClassicNeRFConfig(
+            normalize_position=6.0, use_pallas=True,
+            compute_dtype="bfloat16",
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    pose_o, pose_r = spherical_poses(1, radius=4.0)
+    render = RenderConfig(
+        num_coarse_samples=64, num_fine_samples=128, near=2.0, far=6.0,
+        randomly_sample=False, density_noise_std=0.0, rays_per_tile=2048,
+    )
+
+    def frames(n):
+        def body(img, _):
+            img = model.render_image(
+                params, None, pose_o, pose_r, 400, 400, 555.0, render
+            )
+            return img, ()
+
+        out, _ = jax.lax.scan(
+            body, jnp.zeros((1, 400, 400, 3)), None, length=n
+        )
+        return out
+
+    f2 = jax.jit(lambda: frames(2))
+    f6 = jax.jit(lambda: frames(6))
+    np.asarray(f2()), np.asarray(f6())
+    best2 = best6 = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter(); np.asarray(f2())
+        best2 = min(best2, _time.perf_counter() - t0)
+        t0 = _time.perf_counter(); np.asarray(f6())
+        best6 = min(best6, _time.perf_counter() - t0)
+    t_frame = (best6 - best2) / 4
+    print(f"measured {t_frame*1e3:.1f} ms/frame "
+          f"({160_000/t_frame:,.0f} rays/s)", file=sys.stderr)
+
+    trace_dir = tempfile.mkdtemp(prefix="roofline_eval_")
+    jax.profiler.start_trace(trace_dir)
+    np.asarray(f6())
+    jax.profiler.stop_trace()
+    by_name = device_time_by_kernel(trace_dir)
+    top = sorted(by_name.items(), key=lambda kv: -kv[1])[:16]
+    total = sum(by_name.values())
+    lines = [
+        "# Eval-render kernel breakdown (400x400, 64+128, fused union "
+        "eval)",
+        "",
+        f"Measured {t_frame*1e3:.1f} ms/frame "
+        f"({160_000/t_frame:,.0f} rays/s); device time below is for a "
+        "6-frame chain (divide by 6).",
+        "",
+        "| Kernel | us | share |",
+        "|---|---|---|",
+    ]
+    for name, us in top:
+        lines.append(f"| `{name[:70]}` | {us:.0f} | {us/total*100:.1f}% |")
+    body = "\n".join(lines)
+    if args.out != "ROOFLINE.md":
+        with open(args.out, "w") as f:
+            f.write(body + "\n")
+        print(f"wrote {args.out}", file=sys.stderr)
+    else:
+        print(body, file=sys.stderr)
+    print(json.dumps({
+        "ms_per_frame": round(t_frame * 1e3, 2),
+        "rays_per_s": round(160_000 / t_frame),
+        "device_us_by_kernel_6frames": {
+            n[:70]: round(u, 1) for n, u in top
+        },
+    }))
 
 
 def main() -> None:
@@ -106,7 +196,8 @@ def main() -> None:
     ap.add_argument("--samples", type=int, default=64)
     ap.add_argument("--fine", type=int, default=0,
                     help="fine samples (hierarchical when > 0)")
-    ap.add_argument("--config", choices=["coarse", "hierarchical"],
+    ap.add_argument("--config",
+                    choices=["coarse", "hierarchical", "mip", "eval"],
                     default="coarse")
     ap.add_argument("--k", type=int, default=40)
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
@@ -131,17 +222,35 @@ def main() -> None:
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from bench import _random_bank, _time_chain  # measured the same way
 
-    model = ClassicNeRF(
-        ClassicNeRFConfig(
-            normalize_position=6.0, use_pallas=True,
-            compute_dtype="bfloat16",
+    if args.config == "eval":
+        trace_eval(args)
+        return
+
+    if args.config == "mip":
+        from nerf_tpu import MipNeRF, MipNeRFConfig
+
+        model = MipNeRF(
+            MipNeRFConfig(use_pallas=True, compute_dtype="bfloat16")
         )
-    )
-    render = RenderConfig(
-        num_coarse_samples=args.samples, num_fine_samples=args.fine,
-        near=2.0, far=6.0,
-        randomly_sample=True, density_noise_std=1.0,
-    )
+    else:
+        model = ClassicNeRF(
+            ClassicNeRFConfig(
+                normalize_position=6.0, use_pallas=True,
+                compute_dtype="bfloat16",
+            )
+        )
+    if args.config == "mip":
+        # bench.py's mip config: log-bbox sampler, near/far unused.
+        render = RenderConfig(
+            num_coarse_samples=args.samples,
+            randomly_sample=True, density_noise_std=1.0,
+        )
+    else:
+        render = RenderConfig(
+            num_coarse_samples=args.samples, num_fine_samples=args.fine,
+            near=2.0, far=6.0,
+            randomly_sample=True, density_noise_std=1.0,
+        )
     opt = optax.adam(1e-4)
     bank = _random_bank()
 
@@ -180,7 +289,10 @@ def main() -> None:
 
     # ---- analytic bounds --------------------------------------------------
     n_points = args.batch * (args.samples + args.fine)
-    if args.fine:
+    if args.config == "mip":
+        mm_flops = train_step_flops(model.cfg, args.batch, args.samples,
+                                    mip=True)
+    elif args.fine:
         # Hierarchical reuse: coarse runs fwd + recompute-bwd through the
         # custom-VJP pair (4x fwd-units), fine through the fused kernel
         # (3x); train_step_flops is the 3x model.
@@ -193,14 +305,18 @@ def main() -> None:
     t_mxu = mm_flops / MXU_BF16_PEAK
     # HBM: bf16 encodings in, f32 grads + scalars out; params resident.
     cfg = model.cfg
-    enc_bytes = n_points * (cfg.x_encoding_dim + cfg.d_encoding_dim) * 2
+    if args.config == "mip":
+        enc_dim = cfg.feature_dim
+    else:
+        enc_dim = cfg.x_encoding_dim + cfg.d_encoding_dim
+    enc_bytes = n_points * enc_dim * 2
     aux_bytes = n_points * 5 * 4  # packed [N,5] scalar slab
     t_hbm = 2 * (enc_bytes + aux_bytes) / HBM_BW  # in + the kernel re-read
     vpu_ops = vpu_ops_per_point(model.cfg) * n_points
 
     top = sorted(by_name.items(), key=lambda kv: -kv[1])[:12]
     lines = [
-        "# Roofline: the fused classic train step on TPU v5e",
+        f"# Roofline: the fused {args.config} train step on TPU v5e",
         "",
         f"Workload: {args.batch} rays x {args.samples} samples/ray,",
         "fwd + compositing + MSE + bwd + Adam, fully-fused kernel",
