@@ -24,14 +24,20 @@ ladder rationale):
 
 * Within-block transmittance prefixes and per-ray totals run as segmented
   shift ladders along sublanes (coarse and fine t-sets are each sorted).
-* CROSS-block terms (fine log-alphas below each coarse sample, per-ray
-  sums transferred between the blocks) are masked MXU matmuls, with masks
-  built in-kernel from broadcast ``t`` comparisons + ray-id iotas.  The
-  mask operand is exact 0/1; the value operand uses a one-step Dekker
-  split (``_dot_exact``) because the MXU's DEFAULT precision truncates
-  f32 operands to bf16 — a ~2^-9 relative error that is benign for the
-  MLP's value-dominated matmuls but NOT for sums of log-transmittance
-  terms reaching ``log(1e-10) ~ -23``.
+* CROSS-block terms run PER RAY on exact ``[Sc, Sf]`` blocks (the
+  cross-ray structure is block-diagonal, so slice-wide ``[rows_c,
+  rows_f]`` masks waste ``rays_per_slice``× of both VPU compares and MXU
+  MACs — the round-3 chip trace priced that at ~2 ms/step).  Per ray the
+  same-ray factor is identically 1, so masks are single broadcast ``t``
+  comparisons with no ray-id plumbing at all; only the t-WEIGHTED sums
+  (partial log-transmittances and their two backward scatters) remain
+  mask matmuls, while the unweighted same-ray transfers (the other
+  block's rgb/acc contribution) collapse to one ladder total + a per-ray
+  row broadcast.  The mask operand is exact 0/1; the value operand uses a
+  one-step Dekker split (``_dot_exact``) because the MXU's DEFAULT
+  precision truncates f32 operands to bf16 — a ~2^-9 relative error that
+  is benign for the MLP's value-dominated matmuls but NOT for sums of
+  log-transmittance terms reaching ``log(1e-10) ~ -23``.
 * Everything coarse-side that does not depend on the fine MLP — union
   interval lengths, coarse alphas, the coarse-before-fine partial
   transmittances, the coarse in-block prefix — is computed IN-KERNEL from
@@ -39,10 +45,13 @@ ladder rationale):
   ``dens_c``/``col_c`` cotangents directly.  Round 2 ran this as an XLA
   precompute + ``jax.vjp``; the chip trace showed ~3 ms/step of XLA glue
   (the [B, Sf, Sc] masks, their backward, and the layout copies feeding
-  the kernel), so round 3 moved it in-kernel: the masks already exist
-  there for the cross-block matmuls, and the extra VPU work (two masked
-  mins, one prefix ladder, two Dekker matmuls) is far cheaper than the
-  HBM round trips it replaces.
+  the kernel), so round 3 moved it in-kernel: the t-compares are cheap to
+  rebuild per ray, and the extra VPU work (two masked mins, one prefix
+  ladder, two Dekker matmuls) is far cheaper than the HBM round trips it
+  replaces.
+* The sorted t-sets enter as their NATIVE ``[rays, S]`` arrays (one row
+  per ray, block-sliced with the grid) — no ``[1, rays*S]`` lane-major
+  relayout copies, no ray-id lanes in the aux slabs.
 
 Semantics mirror ``ClassicNeRF.render_rays``'s reuse branch
 (``models/nerf.py``): ``ops.compositing.weights_from_unsorted`` with the
@@ -124,9 +133,8 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
     xf_ref = refs[0]
     df_ref = refs[1] if has_view else None
     k = 2 if has_view else 1
-    (auxf_ref, auxc_ref, tfrow_ref, tcrow_ref,
-     ridfrow_ref, ridcrow_ref) = refs[k : k + 6]
-    k += 6
+    (auxf_ref, auxc_ref, tfblk_ref, tcblk_ref) = refs[k : k + 4]
+    k += 4
     order = _pack_order(has_view)
     w = dict(zip(order, refs[k : k + len(order)]))
     outs = list(refs[k + len(order) :])
@@ -169,7 +177,6 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         noise = auxf[:, 1:2]
         dnorm_f = auxf[:, 2:3]
         pix_f = auxf[:, 3 : 3 + cols]
-        rid_f = auxf[:, 3 + cols : 4 + cols]
         # col_c leads the coarse aux lanes: multi-lane fields that feed
         # anything beyond elementwise math must sit at lane offset 0 —
         # Mosaic cannot lower a ladder/matmul operand carrying a non-zero
@@ -182,53 +189,43 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         dens_c = auxc[:, cols + 1 : cols + 2]
         dnorm_c = auxc[:, cols + 2 : cols + 3]
         pix_c = auxc[:, cols + 3 : 2 * cols + 3]
-        rid_c = auxc[:, 2 * cols + 3 : 2 * cols + 4]
-        t_f_row = tfrow_ref[:, fsl]  # [1, rows_f]
-        t_c_row = tcrow_ref[:, csl]  # [1, rows_c]
-        # Same-ray masks from ray ids carried as DATA, built ONLY from
-        # single broadcast `<` compares and f32 multiplies: the deployed
-        # Mosaic compiler hangs on both a 2-D ``broadcasted_iota //
-        # samples`` construction and on f32 ``==`` broadcast masks
-        # (each reproduced in isolation on v5e; the [rows, 1] iota ``%``
-        # above and broadcast ``<`` masks compile fine).  Ray ids are
-        # integer-valued f32, so the +-0.5 band is an exact equality.
-        rid_f_row = ridfrow_ref[:, fsl]
-        rid_c_row = ridcrow_ref[:, csl]
-        same_cf = (rid_f_row < rid_c + 0.5).astype(jnp.float32) * (
-            (rid_c - 0.5) < rid_f_row
-        ).astype(jnp.float32)  # [rows_c, rows_f]
-        same_fc = (rid_c_row < rid_f + 0.5).astype(jnp.float32) * (
-            (rid_f - 0.5) < rid_c_row
-        ).astype(jnp.float32)  # [rows_f, rows_c]
-        # Fine-before-coarse is STRICT t comparison (fine indices follow
-        # coarse indices in the (t, index) total order, so a tie is NOT
-        # "before"); the coarse-at-or-before-fine masks are the exact
-        # same-ray complements — one subtract, no extra compares.
-        m_cf = same_cf * (t_f_row < t_c).astype(jnp.float32)
-        m_fc = same_fc * (t_f < t_c_row).astype(jnp.float32)
-        m_cf_le = same_cf - m_cf  # coarse <= fine, from the coarse side
-        m_fc_le = same_fc - m_fc  # coarse <= fine, from the fine side
+
+        # Per-ray [1, S] t-rows / [S, 1] t-columns: the cross-block
+        # structure is block-diagonal over rays, so every cross term runs
+        # on exact per-ray blocks.  Fine-before-coarse is STRICT t
+        # comparison (fine indices follow coarse indices in the
+        # (t, index) total order, so a tie is NOT "before").
+        def ray_tt(ri):
+            gr = s * rays_sl + ri
+            tfr = tfblk_ref[gr : gr + 1, :]  # [1, Sf]
+            tcr = tcblk_ref[gr : gr + 1, :]  # [1, Sc]
+            tfc = t_f[ri * s_fine : (ri + 1) * s_fine, :]  # [Sf, 1]
+            tcc = t_c[ri * s_coarse : (ri + 1) * s_coarse, :]  # [Sc, 1]
+            return tfr, tcr, tfc, tcc
+
+        def cat(pieces):
+            return jnp.concatenate(pieces, axis=0)
 
         # ---- union interval lengths (unsorted_dists specialized) -------
         # Successor of a fine slot: its next in-block neighbour or the
         # first same-ray coarse sample with t_c > t_f (strict — ties sort
         # coarse-first); of a coarse slot: next neighbour or the first
-        # fine with t_f >= t_c.  Masked mins against the other block.
+        # fine with t_f >= t_c.  Per-ray masked mins against the other
+        # block.
+        cmin_f, cmin_c = [], []
+        for ri in range(rays_sl):
+            tfr, tcr, tfc, tcc = ray_tt(ri)
+            cmin_f.append(jnp.min(jnp.where(
+                tfc < tcr, jnp.broadcast_to(tcr, (s_fine, s_coarse)), _INF
+            ), axis=1, keepdims=True))
+            cmin_c.append(jnp.min(jnp.where(
+                tfr >= tcc, jnp.broadcast_to(tfr, (s_coarse, s_fine)), _INF
+            ), axis=1, keepdims=True))
         nxt_f = jnp.where(pos_f <= s_fine - 2, _shift_up(t_f, 1), _INF)
-        cand_f = jnp.where(
-            m_fc > 0.5, jnp.broadcast_to(t_c_row, m_fc.shape), _INF
-        )
-        succ_f = jnp.minimum(
-            nxt_f, jnp.min(cand_f, axis=1, keepdims=True)
-        )
+        succ_f = jnp.minimum(nxt_f, cat(cmin_f))
         dist_f = jnp.where(succ_f < _FIN, (succ_f - t_f) * dnorm_f, 1e10)
         nxt_c = jnp.where(pos_c <= s_coarse - 2, _shift_up(t_c, 1), _INF)
-        cand_c = jnp.where(
-            m_cf_le > 0.5, jnp.broadcast_to(t_f_row, m_cf_le.shape), _INF
-        )
-        succ_c = jnp.minimum(
-            nxt_c, jnp.min(cand_c, axis=1, keepdims=True)
-        )
+        succ_c = jnp.minimum(nxt_c, cat(cmin_c))
         dist_c = jnp.where(succ_c < _FIN, (succ_c - t_c) * dnorm_c, 1e10)
 
         # ---- coarse-side union quantities (in-kernel precompute) -------
@@ -236,7 +233,6 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         ac_eps = alpha_c + 1e-10
         log_ac = jnp.log(ac_eps)
         pref_c = _seg_exclusive_prefix(log_ac, pos_c, s_coarse)
-        cross_c = _dot_exact(m_fc_le, log_ac)  # [rows_f, 1]
         sig_c = jax.nn.sigmoid(col_c)
 
         # ---- fine forward (chain kept VMEM-resident) ----
@@ -246,32 +242,68 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         a_eps = alpha_f + 1e-10
         log_af = jnp.log(a_eps)
         pref_f = _seg_exclusive_prefix(log_af, pos_f, s_fine)
+
+        # Partial cross-block log-transmittances: per-ray Dekker mask
+        # matmuls on exact [Sc, Sf] blocks.
+        cc_p, cf_p = [], []
+        for ri in range(rays_sl):
+            tfr, tcr, tfc, tcc = ray_tt(ri)
+            cc_p.append(_dot_exact(
+                (tfc >= tcr).astype(jnp.float32),
+                log_ac[ri * s_coarse : (ri + 1) * s_coarse, :],
+            ))  # [Sf, 1] sum of same-ray coarse log-alphas at/below t_f
+            cf_p.append(_dot_exact(
+                (tfr < tcc).astype(jnp.float32),
+                log_af[ri * s_fine : (ri + 1) * s_fine, :],
+            ))  # [Sc, 1] sum of same-ray fine log-alphas strictly below
+        cross_c = cat(cc_p)  # [rows_f, 1]
+        cross_f = cat(cf_p)  # [rows_c, 1]
+
         t_fine_full = jnp.exp(cross_c + pref_f)
         w_f = (1.0 - alpha_f) * t_fine_full
         sig_f = jax.nn.sigmoid(col)
-
-        # ---- union compositing with the reused coarse block ----
-        # Mosaic cannot lower LANE-axis concats of narrow arrays, so the
-        # cross-block sums run as separate mask matmuls per operand
-        # instead of one packed-RHS matmul — same cost: every k <= 128
-        # result pads to 128 lanes anyway.
-        cross_f = _dot_exact(m_cf, log_af)  # [rows_c, 1]
         t_coarse_full = jnp.exp(pref_c + cross_f)
         w_c = (1.0 - alpha_c) * t_coarse_full
 
-        rgb_c = _seg_total(w_c * sig_c, pos_c, s_coarse) + _dot_exact(
-            same_cf, w_f * sig_f
-        )
-        rgb_f = _seg_total(w_f * sig_f, pos_f, s_fine) + _dot_exact(
-            same_fc, w_c * sig_c
-        )
+        # ---- union compositing with the reused coarse block ----
+        # The other block's same-ray contribution is UNWEIGHTED (the mask
+        # is all-ones per ray), so it is the in-block ladder total of the
+        # other block row-broadcast across this block — no matmul.
+        s_fc = _seg_total(w_f * sig_f, pos_f, s_fine)  # [rows_f, C]
+        s_cc = _seg_total(w_c * sig_c, pos_c, s_coarse)  # [rows_c, C]
         if white_background:
-            acc_c = _seg_total(w_c, pos_c, s_coarse) + _dot_exact(
-                same_cf, w_f
-            )
-            acc_f = _seg_total(w_f, pos_f, s_fine) + _dot_exact(same_fc, w_c)
-            rgb_c = rgb_c + (1.0 - acc_c)
+            s_wf = _seg_total(w_f, pos_f, s_fine)
+            s_wc = _seg_total(w_c, pos_c, s_coarse)
+
+        def cross_bcast(src_c, src_f, width):
+            # src_c's per-ray row broadcast onto fine rows, src_f's onto
+            # coarse rows (sublane concat only — lane concats of narrow
+            # arrays do not lower in Mosaic).
+            on_f = cat([
+                jnp.broadcast_to(
+                    src_c[ri * s_coarse : ri * s_coarse + 1, :],
+                    (s_fine, width),
+                )
+                for ri in range(rays_sl)
+            ])
+            on_c = cat([
+                jnp.broadcast_to(
+                    src_f[ri * s_fine : ri * s_fine + 1, :],
+                    (s_coarse, width),
+                )
+                for ri in range(rays_sl)
+            ])
+            return on_f, on_c
+
+        x_from_c, x_from_f = cross_bcast(s_cc, s_fc, cols)
+        rgb_f = s_fc + x_from_c
+        rgb_c = s_cc + x_from_f
+        if white_background:
+            aw_f, aw_c = cross_bcast(s_wc, s_wf, 1)
+            acc_f = s_wf + aw_f
+            acc_c = s_wc + aw_c
             rgb_f = rgb_f + (1.0 - acc_f)
+            rgb_c = rgb_c + (1.0 - acc_c)
         err_c = rgb_c - pix_c
         err_f = rgb_f - pix_f
         loss_sum = loss_sum + (
@@ -290,11 +322,23 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         g_wc = jnp.sum((sig_c - off) * g_rgb_c, axis=-1, keepdims=True)
         g_alpha_c = -t_coarse_full * g_wc
         g_logt_c = (1.0 - alpha_c) * t_coarse_full * g_wc
-        # cross_f's cotangent scatters back to every fine log-alpha below
-        # the coarse sample: the transposed t-mask.
-        g_laf = _dot_exact(m_fc, g_logt_c)
-        g_alpha_f = -t_fine_full * g_wf
         g_logt_f = (1.0 - alpha_f) * t_fine_full * g_wf
+        # cross_f's cotangent scatters back to every fine log-alpha below
+        # the coarse sample (transposed strict mask); cross_c's to every
+        # coarse log-alpha at/below the fine sample — per-ray blocks.
+        glaf_p, glac_p = [], []
+        for ri in range(rays_sl):
+            tfr, tcr, tfc, tcc = ray_tt(ri)
+            glaf_p.append(_dot_exact(
+                (tfc < tcr).astype(jnp.float32),
+                g_logt_c[ri * s_coarse : (ri + 1) * s_coarse, :],
+            ))  # [Sf, 1]
+            glac_p.append(_dot_exact(
+                (tfr >= tcc).astype(jnp.float32),
+                g_logt_f[ri * s_fine : (ri + 1) * s_fine, :],
+            ))  # [Sc, 1]
+        g_laf = cat(glaf_p)
+        g_alpha_f = -t_fine_full * g_wf
         g_laf = g_laf + _seg_exclusive_suffix(g_logt_f, pos_f, s_fine)
         g_alpha_f = g_alpha_f + g_laf / a_eps
         g_dens = g_alpha_f * (-dist_f * alpha_f) * (dens > 0.0).astype(
@@ -302,9 +346,9 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         )
         # Coarse-side backward, all the way to (dens_c, col_c): pref_c
         # scatters as the in-block exclusive suffix, cross_c as the
-        # transposed coarse<=fine mask against every fine row's g_logt_f.
+        # per-ray transposed coarse<=fine mask against g_logt_f.
         g_logac = _seg_exclusive_suffix(g_logt_c, pos_c, s_coarse)
-        g_logac = g_logac + _dot_exact(m_cf_le, g_logt_f)
+        g_logac = g_logac + cat(glac_p)
         g_alpha_c = g_alpha_c + g_logac / ac_eps
         g_dens_c = g_alpha_c * (-dist_c * alpha_c) * (
             dens_c > 0.0
@@ -343,14 +387,14 @@ def _hier_eval_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, splits,
                       has_view=True):
     """Forward-only union compositing: fine MLP + order-free union with the
     reused coarse block, per-ray [rgb, depth, acc] broadcast to the fine
-    rows.  The forward half of ``_hier_kernel`` — same chip-proven mask
-    and ladder constructs — with no chain retention and no backward."""
+    rows.  The forward half of ``_hier_kernel`` — same chip-proven
+    per-ray-block mask and ladder constructs — with no chain retention and
+    no backward."""
     xf_ref = refs[0]
     df_ref = refs[1] if has_view else None
     k = 2 if has_view else 1
-    (auxf_ref, auxc_ref, tfrow_ref, tcrow_ref,
-     ridfrow_ref, ridcrow_ref) = refs[k : k + 6]
-    k += 6
+    (auxf_ref, auxc_ref, tfblk_ref, tcblk_ref) = refs[k : k + 4]
+    k += 4
     order = _pack_order(has_view)
     w = dict(zip(order, refs[k : k + len(order)]))
     out_ref = refs[k + len(order)]
@@ -373,72 +417,89 @@ def _hier_eval_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, splits,
         auxc = auxc_ref[csl, :]
         t_f = auxf[:, 0:1]
         dnorm_f = auxf[:, 1:2]
-        rid_f = auxf[:, 2:3]
         # col_c leads the coarse lanes (Mosaic lane-offset rule — see
         # _hier_kernel).
         col_c = auxc[:, 0:cols]
         t_c = auxc[:, cols : cols + 1]
         dens_c = auxc[:, cols + 1 : cols + 2]
         dnorm_c = auxc[:, cols + 2 : cols + 3]
-        rid_c = auxc[:, cols + 3 : cols + 4]
-        t_f_row = tfrow_ref[:, fsl]
-        t_c_row = tcrow_ref[:, csl]
-        rid_f_row = ridfrow_ref[:, fsl]
-        rid_c_row = ridcrow_ref[:, csl]
-        same_cf = (rid_f_row < rid_c + 0.5).astype(jnp.float32) * (
-            (rid_c - 0.5) < rid_f_row
-        ).astype(jnp.float32)
-        same_fc = (rid_c_row < rid_f + 0.5).astype(jnp.float32) * (
-            (rid_f - 0.5) < rid_c_row
-        ).astype(jnp.float32)
-        m_cf = same_cf * (t_f_row < t_c).astype(jnp.float32)
-        m_fc = same_fc * (t_f < t_c_row).astype(jnp.float32)
-        m_cf_le = same_cf - m_cf
-        m_fc_le = same_fc - m_fc
+
+        def ray_tt(ri):
+            gr = s * rays_sl + ri
+            tfr = tfblk_ref[gr : gr + 1, :]  # [1, Sf]
+            tcr = tcblk_ref[gr : gr + 1, :]  # [1, Sc]
+            tfc = t_f[ri * s_fine : (ri + 1) * s_fine, :]  # [Sf, 1]
+            tcc = t_c[ri * s_coarse : (ri + 1) * s_coarse, :]  # [Sc, 1]
+            return tfr, tcr, tfc, tcc
+
+        def cat(pieces):
+            return jnp.concatenate(pieces, axis=0)
 
         # Union interval lengths + coarse-side quantities in-kernel (the
-        # forward half of _hier_kernel's precompute).
+        # forward half of _hier_kernel's per-ray precompute).
+        cmin_f, cmin_c = [], []
+        for ri in range(rays_sl):
+            tfr, tcr, tfc, tcc = ray_tt(ri)
+            cmin_f.append(jnp.min(jnp.where(
+                tfc < tcr, jnp.broadcast_to(tcr, (s_fine, s_coarse)), _INF
+            ), axis=1, keepdims=True))
+            cmin_c.append(jnp.min(jnp.where(
+                tfr >= tcc, jnp.broadcast_to(tfr, (s_coarse, s_fine)), _INF
+            ), axis=1, keepdims=True))
         nxt_f = jnp.where(pos_f <= s_fine - 2, _shift_up(t_f, 1), _INF)
-        cand_f = jnp.where(
-            m_fc > 0.5, jnp.broadcast_to(t_c_row, m_fc.shape), _INF
-        )
-        succ_f = jnp.minimum(
-            nxt_f, jnp.min(cand_f, axis=1, keepdims=True)
-        )
+        succ_f = jnp.minimum(nxt_f, cat(cmin_f))
         dist_f = jnp.where(succ_f < _FIN, (succ_f - t_f) * dnorm_f, 1e10)
         nxt_c = jnp.where(pos_c <= s_coarse - 2, _shift_up(t_c, 1), _INF)
-        cand_c = jnp.where(
-            m_cf_le > 0.5, jnp.broadcast_to(t_f_row, m_cf_le.shape), _INF
-        )
-        succ_c = jnp.minimum(
-            nxt_c, jnp.min(cand_c, axis=1, keepdims=True)
-        )
+        succ_c = jnp.minimum(nxt_c, cat(cmin_c))
         dist_c = jnp.where(succ_c < _FIN, (succ_c - t_c) * dnorm_c, 1e10)
         alpha_c = jnp.exp(-jnp.maximum(dens_c, 0.0) * dist_c)
         log_ac = jnp.log(alpha_c + 1e-10)
         pref_c = _seg_exclusive_prefix(log_ac, pos_c, s_coarse)
-        cross_c = _dot_exact(m_fc_le, log_ac)
         sig_c = jax.nn.sigmoid(col_c)
 
         _, dens_raw, col = _forward_chain(x, d, w, dt)
         alpha_f = jnp.exp(-jnp.maximum(dens_raw, 0.0) * dist_f)
         log_af = jnp.log(alpha_f + 1e-10)
         pref_f = _seg_exclusive_prefix(log_af, pos_f, s_fine)
-        t_fine_full = jnp.exp(cross_c + pref_f)
+
+        cc_p, cf_p = [], []
+        for ri in range(rays_sl):
+            tfr, tcr, tfc, tcc = ray_tt(ri)
+            cc_p.append(_dot_exact(
+                (tfc >= tcr).astype(jnp.float32),
+                log_ac[ri * s_coarse : (ri + 1) * s_coarse, :],
+            ))
+            cf_p.append(_dot_exact(
+                (tfr < tcc).astype(jnp.float32),
+                log_af[ri * s_fine : (ri + 1) * s_fine, :],
+            ))
+        t_fine_full = jnp.exp(cat(cc_p) + pref_f)
         w_f = (1.0 - alpha_f) * t_fine_full
         sig_f = jax.nn.sigmoid(col)
-
-        cross_f = _dot_exact(m_cf, log_af)
-        t_coarse_full = jnp.exp(pref_c + cross_f)
+        t_coarse_full = jnp.exp(pref_c + cat(cf_p))
         w_c = (1.0 - alpha_c) * t_coarse_full
 
-        rgb = _seg_total(w_f * sig_f, pos_f, s_fine) + _dot_exact(
-            same_fc, w_c * sig_c
+        # Coarse same-ray contributions: ladder totals on the coarse
+        # block, row-broadcast onto the fine rows (all-ones masks need no
+        # matmul).
+        s_rgb_c = _seg_total(w_c * sig_c, pos_c, s_coarse)
+        s_dep_c = _seg_total(w_c * t_c, pos_c, s_coarse)
+        s_acc_c = _seg_total(w_c, pos_c, s_coarse)
+
+        def on_fine(src, width):
+            return cat([
+                jnp.broadcast_to(
+                    src[ri * s_coarse : ri * s_coarse + 1, :],
+                    (s_fine, width),
+                )
+                for ri in range(rays_sl)
+            ])
+
+        rgb = _seg_total(w_f * sig_f, pos_f, s_fine) + on_fine(
+            s_rgb_c, cols
         )
-        depth = _seg_total(w_f * t_f, pos_f, s_fine) + _dot_exact(
-            same_fc, w_c * t_c
-        )
-        acc = _seg_total(w_f, pos_f, s_fine) + _dot_exact(same_fc, w_c)
+        depth = _seg_total(w_f * t_f, pos_f, s_fine) + on_fine(s_dep_c, 1)
+        acc = _seg_total(w_f, pos_f, s_fine) + on_fine(s_acc_c, 1)
         out_ref[fsl, 0:cols] = rgb
         out_ref[fsl, cols : cols + 1] = depth
         out_ref[fsl, cols + 1 : cols + 2] = acc
@@ -487,33 +548,24 @@ def fine_union_eval_pallas(
         de = d_enc.shape[-1]
         d_ops = (d_enc.reshape(total_f, de).astype(compute_dtype),)
         d_specs = (_tile_spec(tile_f, de),)
-    ray_ids = jnp.arange(n_rays, dtype=jnp.float32)
-    rid_f = jnp.broadcast_to(ray_ids[:, None], (n_rays, s_fine))
-    rid_c = jnp.broadcast_to(ray_ids[:, None], (n_rays, s_coarse))
     dnorm_f = jnp.broadcast_to(dnorm[:, None], (n_rays, s_fine))
-    dnorm_c = jnp.broadcast_to(dnorm[:, None], (n_rays, s_coarse))
     aux_f = jnp.concatenate(
         [
             t_fine[..., None],
             dnorm_f[..., None],
-            rid_f[..., None],
         ],
         axis=-1,
-    ).reshape(total_f, 3)
+    ).reshape(total_f, 2)
+    dnorm_c = jnp.broadcast_to(dnorm[:, None], (n_rays, s_coarse))
     aux_c = jnp.concatenate(
         [
             col_c,
             t_coarse[..., None],
             dens_c,
             dnorm_c[..., None],
-            rid_c[..., None],
         ],
         axis=-1,
-    ).reshape(total_c, cols + 4)
-    tf_row = t_fine.reshape(1, total_f)
-    tc_row = t_coarse.reshape(1, total_c)
-    ridf_row = rid_f.reshape(1, total_f)
-    ridc_row = rid_c.reshape(1, total_c)
+    ).reshape(total_c, cols + 3)
 
     packed = pack_classic_params(params)
     weights = [packed[k] for k in order]
@@ -533,18 +585,16 @@ def fine_union_eval_pallas(
         in_specs=[
             _tile_spec(tile_f, xe),
             *d_specs,
-            _tile_spec(tile_f, 3),
-            _tile_spec(tile_c, cols + 4),
-            pl.BlockSpec((1, tile_f), lambda i: (0, i)),
-            pl.BlockSpec((1, tile_c), lambda i: (0, i)),
-            pl.BlockSpec((1, tile_f), lambda i: (0, i)),
-            pl.BlockSpec((1, tile_c), lambda i: (0, i)),
+            _tile_spec(tile_f, 2),
+            _tile_spec(tile_c, cols + 3),
+            pl.BlockSpec((r, s_fine), lambda i: (i, 0)),
+            pl.BlockSpec((r, s_coarse), lambda i: (i, 0)),
             *[_full_spec(wt.shape) for wt in weights],
         ],
         out_specs=_tile_spec(tile_f, cols + 2),
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(x2, *d_ops, aux_f, aux_c, tf_row, tc_row, ridf_row, ridc_row, *weights)
+    )(x2, *d_ops, aux_f, aux_c, t_fine, t_coarse, *weights)
 
     per_ray = out.reshape(n_rays, s_fine, cols + 2)[:, 0, :]
     return (
@@ -555,15 +605,16 @@ def fine_union_eval_pallas(
 
 
 def _pick_tiling(n_rays: int, s_fine: int, interpret: bool) -> Tuple[int, int]:
-    """Rays per tile + slice count: whole rays per slice, 128-lane-aligned
-    slice boundaries on hardware (the t-row inputs are lane-sliced)."""
+    """Rays per tile + slice count: whole rays per slice, 8-sublane-aligned
+    slice boundaries on hardware (the split row-slices of the aux/enc
+    tiles; the per-ray cross blocks themselves slice at any offset)."""
     r = min(n_rays, max(1, TILE_F // max(s_fine, 1)))
     while r > 1 and n_rays % r:
         r -= 1
     splits = _SPLITS
     while splits > 1:
         rays_sl, rem = divmod(r, splits)
-        aligned = interpret or (rays_sl * s_fine) % 128 == 0
+        aligned = interpret or (rays_sl * s_fine) % 8 == 0
         if rem == 0 and aligned:
             break
         splits -= 1
@@ -629,11 +680,6 @@ def fine_stage_train_pallas(
         d_specs = (_tile_spec(tile_f, de),)
     pix_f = jnp.broadcast_to(pixels[:, None, :], (n_rays, s_fine, cols))
     pix_c = jnp.broadcast_to(pixels[:, None, :], (n_rays, s_coarse, cols))
-    # Ray ids as f32 data (exact equality up to 2^24 rays) — the kernel
-    # builds its same-ray masks from these; see the in-kernel note.
-    ray_ids = jnp.arange(n_rays, dtype=jnp.float32)
-    rid_f = jnp.broadcast_to(ray_ids[:, None], (n_rays, s_fine))
-    rid_c = jnp.broadcast_to(ray_ids[:, None], (n_rays, s_coarse))
     dnorm_f = jnp.broadcast_to(dnorm[:, None], (n_rays, s_fine))
     dnorm_c = jnp.broadcast_to(dnorm[:, None], (n_rays, s_coarse))
     aux_f = jnp.concatenate(
@@ -642,10 +688,9 @@ def fine_stage_train_pallas(
             noise_f[..., None],
             dnorm_f[..., None],
             pix_f,
-            rid_f[..., None],
         ],
         axis=-1,
-    ).reshape(total_f, 4 + cols)
+    ).reshape(total_f, 3 + cols)
     aux_c = jnp.concatenate(
         [
             col_c,
@@ -653,14 +698,9 @@ def fine_stage_train_pallas(
             dens_c,
             dnorm_c[..., None],
             pix_c,
-            rid_c[..., None],
         ],
         axis=-1,
-    ).reshape(total_c, 4 + 2 * cols)
-    tf_row = t_fine.reshape(1, total_f)
-    tc_row = t_coarse.reshape(1, total_c)
-    ridf_row = rid_f.reshape(1, total_f)
-    ridc_row = rid_c.reshape(1, total_c)
+    ).reshape(total_c, 3 + 2 * cols)
 
     packed = pack_classic_params(params)
     weights = [packed[k] for k in order]
@@ -692,18 +732,16 @@ def fine_stage_train_pallas(
         in_specs=[
             _tile_spec(tile_f, xe),
             *d_specs,
-            _tile_spec(tile_f, 4 + cols),
-            _tile_spec(tile_c, 4 + 2 * cols),
-            pl.BlockSpec((1, tile_f), lambda i: (0, i)),
-            pl.BlockSpec((1, tile_c), lambda i: (0, i)),
-            pl.BlockSpec((1, tile_f), lambda i: (0, i)),
-            pl.BlockSpec((1, tile_c), lambda i: (0, i)),
+            _tile_spec(tile_f, 3 + cols),
+            _tile_spec(tile_c, 3 + 2 * cols),
+            pl.BlockSpec((r, s_fine), lambda i: (i, 0)),
+            pl.BlockSpec((r, s_coarse), lambda i: (i, 0)),
             *[_full_spec(wt.shape) for wt in weights],
         ],
         out_specs=out_specs,
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(x2, *d_ops, aux_f, aux_c, tf_row, tc_row, ridf_row, ridc_row, *weights)
+    )(x2, *d_ops, aux_f, aux_c, t_fine, t_coarse, *weights)
 
     loss = loss_weight * outs[0][0, 0] / n_rays
     grads = unpack_classic_grads(
