@@ -130,10 +130,13 @@ class ClassicNeRF:
         )
         d_enc = None
         if self.cfg.use_viewdirs:
-            dirs = jnp.broadcast_to(rays_d[..., None, :], points.shape)
-            d_enc = self.encode_direction(
-                dirs,
-                None if states_d is None else states_d[..., None, :],
+            # Directions are constant along a ray: encode ONCE per ray and
+            # broadcast the result over samples — S x fewer sines (the
+            # sine fusion showed up at ~170 us/step in the chip trace).
+            per_ray = self.encode_direction(rays_d, states_d)
+            d_enc = jnp.broadcast_to(
+                per_ray[..., None, :],
+                points.shape[:-1] + per_ray.shape[-1:],
             )
         return points, x_enc, d_enc
 
@@ -171,10 +174,12 @@ class ClassicNeRF:
         ).reshape(n_rays, s, -1)
         d_enc = None
         if self.cfg.use_viewdirs:
-            dirs = jnp.broadcast_to(rays_d[:, None, :], points.shape)
-            d_enc = self.encode_direction(
-                dirs.reshape(-1, 3), flat_states(states_d)
-            ).reshape(n_rays, s, -1)
+            # Per-ray encode + broadcast (see _encode_inputs): directions
+            # do not vary along the ray.
+            per_ray = self.encode_direction(rays_d, states_d)
+            d_enc = jnp.broadcast_to(
+                per_ray[:, None, :], (n_rays, s, per_ray.shape[-1])
+            )
         return x_enc, d_enc
 
     def forward(
