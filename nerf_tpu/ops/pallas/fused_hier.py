@@ -380,21 +380,91 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         dwhh_ref[j, :, :] += acc["whh"][j]
 
 
-# Eval kernel output lanes per fine row: [rgb(cols), depth, acc].
+# ---- lane-layout helpers (eval kernel) ---------------------------------
+# The mosaic_probe measurements price elementwise ops on [N, 1] columns at
+# ~10-20x their [rays, S] lane-layout cost and sublane shift ladders at
+# ~15 us/tile, so the forward-only kernel runs its whole scalar chain in
+# [rays, S] lane layout: lane ladders need NO segment masks (each sublane
+# row is one ray) and every exp/log/where runs lane-dense.
+
+
+def _lane_shift_down(v: Array, m: int) -> Array:
+    """Lanes shifted toward higher indices by m (zeros shifted in)."""
+    if isinstance(v, jax.core.Tracer):
+        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        return jnp.where(lane >= m, pltpu.roll(v, shift=m, axis=1), 0.0)
+    return jnp.concatenate(
+        [jnp.zeros((v.shape[0], m), v.dtype), v[:, :-m]], axis=1
+    )
+
+
+def _lane_shift_up(v: Array, m: int) -> Array:
+    if isinstance(v, jax.core.Tracer):
+        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        return jnp.where(
+            lane < v.shape[1] - m,
+            pltpu.roll(v, shift=v.shape[1] - m, axis=1),
+            0.0,
+        )
+    return jnp.concatenate(
+        [v[:, m:], jnp.zeros((v.shape[0], m), v.dtype)], axis=1
+    )
+
+
+def _lane_exclusive_prefix(v: Array) -> Array:
+    """Exclusive prefix sum along lanes (one ray per sublane row) —
+    Hillis-Steele doubling on zero-filled shifts, no segment masks."""
+    out = _lane_shift_down(v, 1)
+    m = 1
+    while m < v.shape[1] - 1:
+        out = out + _lane_shift_down(out, m)
+        m *= 2
+    return out
+
+
+def _dot_exact_row(values: Array, mat: Array) -> Array:
+    """``values @ mat`` with the LEFT (value) operand Dekker split — the
+    row-layout mirror of ``_dot_exact`` (``mat`` must be exact in bf16,
+    e.g. a 0/1 mask)."""
+    hi = values.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = values - hi
+    return jnp.dot(hi, mat, preferred_element_type=jnp.float32) + jnp.dot(
+        lo, mat, preferred_element_type=jnp.float32
+    )
+
+
+def _dot_exact2(a: Array, b: Array) -> Array:
+    """``a @ b`` with BOTH f32 operands one-step Dekker split (~2^-18
+    relative): for sums where neither side is an exact 0/1 mask (the
+    weight x sigmoid rgb reductions)."""
+    ahi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    alo = a - ahi
+    bhi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    blo = b - bhi
+    return (
+        jnp.dot(ahi, bhi, preferred_element_type=jnp.float32)
+        + jnp.dot(ahi, blo, preferred_element_type=jnp.float32)
+        + jnp.dot(alo, bhi, preferred_element_type=jnp.float32)
+    )
+
+
+# Eval kernel output lanes per RAY: [rgb(cols), depth, acc].
 
 
 def _hier_eval_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, splits,
                       has_view=True):
-    """Forward-only union compositing: fine MLP + order-free union with the
-    reused coarse block, per-ray [rgb, depth, acc] broadcast to the fine
-    rows.  The forward half of ``_hier_kernel`` — same chip-proven
-    per-ray-block mask and ladder constructs — with no chain retention and
-    no backward."""
+    """Forward-only union compositing, scalar chain in [rays, S] LANE
+    layout: fine MLP (row layout) -> lane-relayout densities -> lane
+    dists/alphas/prefix ladders -> per-ray cross-block Dekker dots ->
+    per-ray [rgb, depth, acc] outputs.  Only the per-ray t-masks and the
+    rgb weight-x-sigmoid reductions touch row-layout operands."""
     xf_ref = refs[0]
     df_ref = refs[1] if has_view else None
     k = 2 if has_view else 1
-    (auxf_ref, auxc_ref, tfblk_ref, tcblk_ref) = refs[k : k + 4]
+    (tfblk_ref, tcblk_ref, densc_ref, dnorm_ref) = refs[k : k + 4]
     k += 4
+    colc_refs = refs[k : k + cols]  # coarse color logits, [rays, Sc] per
+    k += cols                       # channel (lane-dense, no 128/k HBM pad)
     order = _pack_order(has_view)
     w = dict(zip(order, refs[k : k + len(order)]))
     out_ref = refs[k + len(order)]
@@ -405,104 +475,125 @@ def _hier_eval_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, splits,
     rows_f = tile_f // splits
     rays_sl = rows_f // s_fine
     rows_c = rays_sl * s_coarse
-    pos_f = jax.lax.broadcasted_iota(jnp.int32, (rows_f, 1), 0) % s_fine
-    pos_c = jax.lax.broadcasted_iota(jnp.int32, (rows_c, 1), 0) % s_coarse
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (rays_sl, s_fine), 1)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (rays_sl, s_coarse), 1)
 
     for s in range(splits):
         fsl = slice(s * rows_f, (s + 1) * rows_f)
         csl = slice(s * rows_c, (s + 1) * rows_c)
+        rsl = slice(s * rays_sl, (s + 1) * rays_sl)
         x = xf_ref[fsl, :]
         d = df_ref[fsl, :] if has_view else None
-        auxf = auxf_ref[fsl, :]
-        auxc = auxc_ref[csl, :]
-        t_f = auxf[:, 0:1]
-        dnorm_f = auxf[:, 1:2]
-        # col_c leads the coarse lanes (Mosaic lane-offset rule — see
-        # _hier_kernel).
-        col_c = auxc[:, 0:cols]
-        t_c = auxc[:, cols : cols + 1]
-        dens_c = auxc[:, cols + 1 : cols + 2]
-        dnorm_c = auxc[:, cols + 2 : cols + 3]
+        t_f_l = tfblk_ref[rsl, :]  # [rays_sl, Sf]
+        t_c_l = tcblk_ref[rsl, :]  # [rays_sl, Sc]
+        dens_c_l = densc_ref[rsl, :]
+        dnorm = dnorm_ref[rsl, :]  # [rays_sl, 1]
 
-        def ray_tt(ri):
-            gr = s * rays_sl + ri
-            tfr = tfblk_ref[gr : gr + 1, :]  # [1, Sf]
-            tcr = tcblk_ref[gr : gr + 1, :]  # [1, Sc]
-            tfc = t_f[ri * s_fine : (ri + 1) * s_fine, :]  # [Sf, 1]
-            tcc = t_c[ri * s_coarse : (ri + 1) * s_coarse, :]  # [Sc, 1]
+        def rays(fn):  # [1, X] per-ray pieces -> [rays_sl, X]
+            return jnp.concatenate(
+                [fn(ri) for ri in range(rays_sl)], axis=0
+            )
+
+        def tparts(ri):
+            # Per-ray t rows + their [S, 1] vector transposes (the only
+            # columns the kernel touches — no [total, k] aux slabs, whose
+            # T(8,128) tiling pads HBM 128/k x).  Width-1 lane-slice
+            # sample loops were measured SLOWER than these per-ray 2-D
+            # blocks (371 vs 295 ms/frame in-kernel) — the per-sample
+            # lane broadcasts do not amortize.
+            tfr = t_f_l[ri : ri + 1, :]  # [1, Sf]
+            tcr = t_c_l[ri : ri + 1, :]  # [1, Sc]
+            tfc = tfr.reshape(s_fine, 1)
+            tcc = tcr.reshape(s_coarse, 1)
             return tfr, tcr, tfc, tcc
 
-        def cat(pieces):
-            return jnp.concatenate(pieces, axis=0)
+        # -- union interval lengths (lane layout) ------------------------
+        # Successor of a fine slot: next in-block neighbour or the first
+        # same-ray coarse sample with t_c > t_f (strict); of a coarse
+        # slot: next neighbour or the first fine with t_f >= t_c.
+        def cmin_f(ri):
+            tfr, tcr, tfc, tcc = tparts(ri)
+            m = jnp.broadcast_to(tfr, (s_coarse, s_fine)) < tcc
+            return jnp.min(jnp.where(
+                m, jnp.broadcast_to(tcc, (s_coarse, s_fine)), _INF
+            ), axis=0, keepdims=True)  # [1, Sf]
 
-        # Union interval lengths + coarse-side quantities in-kernel (the
-        # forward half of _hier_kernel's per-ray precompute).
-        cmin_f, cmin_c = [], []
-        for ri in range(rays_sl):
-            tfr, tcr, tfc, tcc = ray_tt(ri)
-            cmin_f.append(jnp.min(jnp.where(
-                tfc < tcr, jnp.broadcast_to(tcr, (s_fine, s_coarse)), _INF
-            ), axis=1, keepdims=True))
-            cmin_c.append(jnp.min(jnp.where(
-                tfr >= tcc, jnp.broadcast_to(tfr, (s_coarse, s_fine)), _INF
-            ), axis=1, keepdims=True))
-        nxt_f = jnp.where(pos_f <= s_fine - 2, _shift_up(t_f, 1), _INF)
-        succ_f = jnp.minimum(nxt_f, cat(cmin_f))
-        dist_f = jnp.where(succ_f < _FIN, (succ_f - t_f) * dnorm_f, 1e10)
-        nxt_c = jnp.where(pos_c <= s_coarse - 2, _shift_up(t_c, 1), _INF)
-        succ_c = jnp.minimum(nxt_c, cat(cmin_c))
-        dist_c = jnp.where(succ_c < _FIN, (succ_c - t_c) * dnorm_c, 1e10)
-        alpha_c = jnp.exp(-jnp.maximum(dens_c, 0.0) * dist_c)
+        def cmin_c(ri):
+            tfr, tcr, tfc, tcc = tparts(ri)
+            m = tfc >= jnp.broadcast_to(tcr, (s_fine, s_coarse))
+            return jnp.min(jnp.where(
+                m, jnp.broadcast_to(tfc, (s_fine, s_coarse)), _INF
+            ), axis=0, keepdims=True)  # [1, Sc]
+
+        nxt_f = jnp.where(
+            lane_f <= s_fine - 2, _lane_shift_up(t_f_l, 1), _INF
+        )
+        succ_f = jnp.minimum(nxt_f, rays(cmin_f))
+        dist_f = jnp.where(
+            succ_f < _FIN, (succ_f - t_f_l) * dnorm, 1e10
+        )
+        nxt_c = jnp.where(
+            lane_c <= s_coarse - 2, _lane_shift_up(t_c_l, 1), _INF
+        )
+        succ_c = jnp.minimum(nxt_c, rays(cmin_c))
+        dist_c = jnp.where(
+            succ_c < _FIN, (succ_c - t_c_l) * dnorm, 1e10
+        )
+        alpha_c = jnp.exp(-jnp.maximum(dens_c_l, 0.0) * dist_c)
         log_ac = jnp.log(alpha_c + 1e-10)
-        pref_c = _seg_exclusive_prefix(log_ac, pos_c, s_coarse)
-        sig_c = jax.nn.sigmoid(col_c)
+        pref_c = _lane_exclusive_prefix(log_ac)
 
         _, dens_raw, col = _forward_chain(x, d, w, dt)
-        alpha_f = jnp.exp(-jnp.maximum(dens_raw, 0.0) * dist_f)
+        dens_l = dens_raw.reshape(rays_sl, s_fine)
+        alpha_f = jnp.exp(-jnp.maximum(dens_l, 0.0) * dist_f)
         log_af = jnp.log(alpha_f + 1e-10)
-        pref_f = _seg_exclusive_prefix(log_af, pos_f, s_fine)
+        pref_f = _lane_exclusive_prefix(log_af)
 
-        cc_p, cf_p = [], []
-        for ri in range(rays_sl):
-            tfr, tcr, tfc, tcc = ray_tt(ri)
-            cc_p.append(_dot_exact(
-                (tfc >= tcr).astype(jnp.float32),
-                log_ac[ri * s_coarse : (ri + 1) * s_coarse, :],
-            ))
-            cf_p.append(_dot_exact(
-                (tfr < tcc).astype(jnp.float32),
-                log_af[ri * s_fine : (ri + 1) * s_fine, :],
-            ))
-        t_fine_full = jnp.exp(cat(cc_p) + pref_f)
+        # Cross-block partial log-transmittances: per-ray M=1 Dekker dots
+        # with the value as the LANE row and the exact 0/1 t-mask on the
+        # right.
+        def cross_c(ri):  # [1, Sf]
+            tfr, tcr, tfc, tcc = tparts(ri)
+            m = (tcc <= jnp.broadcast_to(tfr, (s_coarse, s_fine))).astype(
+                jnp.float32
+            )
+            return _dot_exact_row(log_ac[ri : ri + 1, :], m)
+
+        def cross_f(ri):  # [1, Sc]
+            tfr, tcr, tfc, tcc = tparts(ri)
+            m = (tfc < jnp.broadcast_to(tcr, (s_fine, s_coarse))).astype(
+                jnp.float32
+            )
+            return _dot_exact_row(log_af[ri : ri + 1, :], m)
+
+        t_fine_full = jnp.exp(rays(cross_c) + pref_f)
         w_f = (1.0 - alpha_f) * t_fine_full
-        sig_f = jax.nn.sigmoid(col)
-        t_coarse_full = jnp.exp(pref_c + cat(cf_p))
+        t_coarse_full = jnp.exp(pref_c + rays(cross_f))
         w_c = (1.0 - alpha_c) * t_coarse_full
 
-        # Coarse same-ray contributions: ladder totals on the coarse
-        # block, row-broadcast onto the fine rows (all-ones masks need no
-        # matmul).
-        s_rgb_c = _seg_total(w_c * sig_c, pos_c, s_coarse)
-        s_dep_c = _seg_total(w_c * t_c, pos_c, s_coarse)
-        s_acc_c = _seg_total(w_c, pos_c, s_coarse)
+        sig_f = jax.nn.sigmoid(col)  # [rows_f, C] row layout
 
-        def on_fine(src, width):
-            return cat([
-                jnp.broadcast_to(
-                    src[ri * s_coarse : ri * s_coarse + 1, :],
-                    (s_fine, width),
-                )
-                for ri in range(rays_sl)
-            ])
+        def rgb_f_ray(ri):  # [1, C] fine rgb: both-side Dekker dot
+            return _dot_exact2(
+                w_f[ri : ri + 1, :],
+                sig_f[ri * s_fine : (ri + 1) * s_fine, :],
+            )
 
-        rgb = _seg_total(w_f * sig_f, pos_f, s_fine) + on_fine(
-            s_rgb_c, cols
+        rgb_f = rays(rgb_f_ray)  # [rays_sl, C]
+        # Coarse rgb per channel as pure lane reductions (the coarse
+        # colors arrive lane-dense per channel).
+        for c in range(cols):
+            sig_cl = jax.nn.sigmoid(colc_refs[c][rsl, :])
+            rgb_cc = jnp.sum(w_c * sig_cl, axis=1, keepdims=True)
+            out_ref[rsl, c : c + 1] = rgb_f[:, c : c + 1] + rgb_cc
+        depth = jnp.sum(w_f * t_f_l, axis=1, keepdims=True) + jnp.sum(
+            w_c * t_c_l, axis=1, keepdims=True
         )
-        depth = _seg_total(w_f * t_f, pos_f, s_fine) + on_fine(s_dep_c, 1)
-        acc = _seg_total(w_f, pos_f, s_fine) + on_fine(s_acc_c, 1)
-        out_ref[fsl, 0:cols] = rgb
-        out_ref[fsl, cols : cols + 1] = depth
-        out_ref[fsl, cols + 1 : cols + 2] = acc
+        acc = jnp.sum(w_f, axis=1, keepdims=True) + jnp.sum(
+            w_c, axis=1, keepdims=True
+        )
+        out_ref[rsl, cols : cols + 1] = depth
+        out_ref[rsl, cols + 1 : cols + 2] = acc
 
 
 def fine_union_eval_pallas(
@@ -538,7 +629,11 @@ def fine_union_eval_pallas(
     xe = x_enc.shape[-1]
     total_f = n_rays * s_fine
     total_c = n_rays * s_coarse
-    r, splits = _pick_tiling(n_rays, s_fine, interpret)
+    # Forward-only: no chain retention, so one slice per DOUBLE-size tile
+    # (halves the per-tile grid overhead; the lane arrays fill whole
+    # vregs).
+    r, _ = _pick_tiling(n_rays, s_fine, interpret, tile_rows=2 * TILE_F)
+    splits = 1
     grid = n_rays // r
     tile_f, tile_c = r * s_fine, r * s_coarse
 
@@ -548,28 +643,19 @@ def fine_union_eval_pallas(
         de = d_enc.shape[-1]
         d_ops = (d_enc.reshape(total_f, de).astype(compute_dtype),)
         d_specs = (_tile_spec(tile_f, de),)
-    dnorm_f = jnp.broadcast_to(dnorm[:, None], (n_rays, s_fine))
-    aux_f = jnp.concatenate(
-        [
-            t_fine[..., None],
-            dnorm_f[..., None],
-        ],
-        axis=-1,
-    ).reshape(total_f, 2)
-    dnorm_c = jnp.broadcast_to(dnorm[:, None], (n_rays, s_coarse))
-    aux_c = jnp.concatenate(
-        [
-            col_c,
-            t_coarse[..., None],
-            dens_c,
-            dnorm_c[..., None],
-        ],
-        axis=-1,
-    ).reshape(total_c, cols + 3)
+    # Every scalar operand enters LANE-DENSE ([rays, S] per field): a
+    # narrow [total, k] slab is tiled T(8, 128) on device, physically
+    # padding HBM (and every copy producing it) by 128/k x — the round-3
+    # eval trace showed a 60 ms/frame fusion materializing exactly such a
+    # [total_f, 1] column.
+    densc_l = dens_c.reshape(n_rays, s_coarse)
+    dnorm2 = dnorm.reshape(n_rays, 1)
+    colc_chans = [col_c[..., c] for c in range(cols)]  # [n_rays, Sc] each
 
     packed = pack_classic_params(params)
     weights = [packed[k] for k in order]
 
+    lane_c = pl.BlockSpec((r, s_coarse), lambda i: (i, 0))
     out = pl.pallas_call(
         functools.partial(
             _hier_eval_kernel,
@@ -580,35 +666,37 @@ def fine_union_eval_pallas(
             splits=splits,
             has_view=has_view,
         ),
-        out_shape=jax.ShapeDtypeStruct((total_f, cols + 2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rays, cols + 2), jnp.float32),
         grid=(grid,),
         in_specs=[
             _tile_spec(tile_f, xe),
             *d_specs,
-            _tile_spec(tile_f, 2),
-            _tile_spec(tile_c, cols + 3),
             pl.BlockSpec((r, s_fine), lambda i: (i, 0)),
-            pl.BlockSpec((r, s_coarse), lambda i: (i, 0)),
+            lane_c,
+            lane_c,
+            pl.BlockSpec((r, 1), lambda i: (i, 0)),
+            *[lane_c for _ in range(cols)],
             *[_full_spec(wt.shape) for wt in weights],
         ],
-        out_specs=_tile_spec(tile_f, cols + 2),
+        out_specs=pl.BlockSpec((r, cols + 2), lambda i: (i, 0)),
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(x2, *d_ops, aux_f, aux_c, t_fine, t_coarse, *weights)
+    )(x2, *d_ops, t_fine, t_coarse, densc_l, dnorm2, *colc_chans,
+      *weights)
 
-    per_ray = out.reshape(n_rays, s_fine, cols + 2)[:, 0, :]
     return (
-        per_ray[:, :cols],
-        per_ray[:, cols],
-        per_ray[:, cols + 1],
+        out[:, :cols],
+        out[:, cols],
+        out[:, cols + 1],
     )
 
 
-def _pick_tiling(n_rays: int, s_fine: int, interpret: bool) -> Tuple[int, int]:
+def _pick_tiling(n_rays: int, s_fine: int, interpret: bool,
+                 tile_rows: int = TILE_F) -> Tuple[int, int]:
     """Rays per tile + slice count: whole rays per slice, 8-sublane-aligned
     slice boundaries on hardware (the split row-slices of the aux/enc
     tiles; the per-ray cross blocks themselves slice at any offset)."""
-    r = min(n_rays, max(1, TILE_F // max(s_fine, 1)))
+    r = min(n_rays, max(1, tile_rows // max(s_fine, 1)))
     while r > 1 and n_rays % r:
         r -= 1
     splits = _SPLITS
