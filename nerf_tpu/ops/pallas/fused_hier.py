@@ -19,39 +19,47 @@ routes those through the coarse custom-VJP (``fused_mlp``) so the reuse
 formulation's full gradient — fine loss back through the reused coarse
 evaluations — matches the general trainer exactly (parity-tested).
 
-Union-compositing layout (measured design, see ``fused_train`` for the
-ladder rationale):
+Union-compositing layout (measured design, each rule priced on a v5e
+chip — see ``fused_train`` for the ladder rationale and
+``scripts/mosaic_probe.py`` for the lane-vs-column op costs):
 
-* Within-block transmittance prefixes and per-ray totals run as segmented
-  shift ladders along sublanes (coarse and fine t-sets are each sorted).
+* The WHOLE scalar chain — union interval lengths, alphas, log
+  transmittances, prefix/suffix ladders, compositing weights, and their
+  backward — runs in ``[rays, S]`` LANE layout: one ray per sublane row,
+  samples along lanes.  The round-3 kernel ran it on ``[rows, 1]``
+  column vectors, which the VPU pads to 128 lanes (1/128 lane
+  efficiency); the chip trace priced that at ~2 ms/step (fine kernel
+  8.84 ms vs its 6.8 ms MLP-proportional bound), and the mosaic_probe
+  measurements price column-layout elementwise ops at ~10-20x their
+  lane-dense cost.  Lane ladders need NO segment masks (each sublane row
+  is one ray).  Only the MLP itself and the ``[rows, C]`` color-head
+  math stay row-major, with two register relayouts (density row->lane,
+  weight-cotangent lane->row) at the boundary — probe A prices a
+  [512, 1]<->[4, 128] relayout at ~100 ns.
 * CROSS-block terms run PER RAY on exact ``[Sc, Sf]`` blocks (the
-  cross-ray structure is block-diagonal, so slice-wide ``[rows_c,
-  rows_f]`` masks waste ``rays_per_slice``× of both VPU compares and MXU
-  MACs — the round-3 chip trace priced that at ~2 ms/step).  Per ray the
+  cross-ray structure is block-diagonal, so slice-wide masks waste
+  ``rays_per_slice``× of both VPU compares and MXU MACs).  Per ray the
   same-ray factor is identically 1, so masks are single broadcast ``t``
-  comparisons with no ray-id plumbing at all; only the t-WEIGHTED sums
-  (partial log-transmittances and their two backward scatters) remain
-  mask matmuls, while the unweighted same-ray transfers (the other
-  block's rgb/acc contribution) collapse to one ladder total + a per-ray
-  row broadcast.  The mask operand is exact 0/1; the value operand uses a
-  one-step Dekker split (``_dot_exact``) because the MXU's DEFAULT
-  precision truncates f32 operands to bf16 — a ~2^-9 relative error that
-  is benign for the MLP's value-dominated matmuls but NOT for sums of
-  log-transmittance terms reaching ``log(1e-10) ~ -23``.
+  comparisons with no ray-id plumbing; the t-weighted sums (partial
+  log-transmittances and their two backward scatters) are ``[1, S] @
+  [S, S']`` mask matmuls with the VALUE as the lane row.  The mask
+  operand is exact 0/1; the value operand uses a one-step Dekker split
+  (``_dot_exact_row``) because the MXU's DEFAULT precision truncates f32
+  operands to bf16 — a ~2^-9 relative error that is benign for the MLP's
+  value-dominated matmuls but NOT for sums of log-transmittance terms
+  reaching ``log(1e-10) ~ -23``.
 * Everything coarse-side that does not depend on the fine MLP — union
   interval lengths, coarse alphas, the coarse-before-fine partial
   transmittances, the coarse in-block prefix — is computed IN-KERNEL from
   the raw (noised) coarse densities/colors, and the kernel emits the
   ``dens_c``/``col_c`` cotangents directly.  Round 2 ran this as an XLA
-  precompute + ``jax.vjp``; the chip trace showed ~3 ms/step of XLA glue
-  (the [B, Sf, Sc] masks, their backward, and the layout copies feeding
-  the kernel), so round 3 moved it in-kernel: the t-compares are cheap to
-  rebuild per ray, and the extra VPU work (two masked mins, one prefix
-  ladder, two Dekker matmuls) is far cheaper than the HBM round trips it
-  replaces.
-* The sorted t-sets enter as their NATIVE ``[rays, S]`` arrays (one row
-  per ray, block-sliced with the grid) — no ``[1, rays*S]`` lane-major
-  relayout copies, no ray-id lanes in the aux slabs.
+  precompute + ``jax.vjp``; the chip trace showed ~3 ms/step of XLA glue,
+  so round 3 moved it in-kernel.
+* EVERY scalar operand and cotangent crosses the kernel boundary
+  LANE-DENSE (``[rays, S]`` per field, ``[rays, C]`` pixels): a narrow
+  ``[total, k]`` slab is tiled T(8, 128) on device, physically padding
+  HBM (and every XLA copy producing it) by 128/k x — the round-3 aux
+  slabs cost ~130 MB/step of padded traffic at 2048x(64+128).
 
 Semantics mirror ``ClassicNeRF.render_rays``'s reuse branch
 (``models/nerf.py``): ``ops.compositing.weights_from_unsorted`` with the
@@ -84,13 +92,7 @@ from nerf_tpu.ops.pallas.fused_mlp import (
     _tile_spec,
     pack_classic_params,
 )
-from nerf_tpu.ops.pallas.fused_train import (
-    _seg_exclusive_prefix,
-    _seg_exclusive_suffix,
-    _seg_total,
-    _shift_up,
-    unpack_classic_grads,
-)
+from nerf_tpu.ops.pallas.fused_train import unpack_classic_grads
 
 Array = jax.Array
 
@@ -98,11 +100,6 @@ Array = jax.Array
 # independent slices is the swept optimum of the kernel family.
 TILE_F = 1024
 _SPLITS = 2
-
-# Coarse-cotangent lanes: [g_dens_c, g_col_c x cols].
-def _n_gaux(cols: int) -> int:
-    return 1 + cols
-
 
 # Sentinel "no successor" distance for the in-kernel masked mins (f32 max
 # is ~3.4e38; anything above _FIN is treated as the reference's 1e10 far
@@ -112,35 +109,29 @@ _INF = 1e38
 _FIN = 1e37
 
 
-def _dot_exact(mask: Array, values: Array) -> Array:
-    """``mask @ values`` with near-f32-exact accumulation on the MXU.
-
-    The MXU's DEFAULT precision truncates f32 operands to bf16.  The mask
-    side is 0/1 (exact in bf16); the value side is split one Dekker step
-    (``hi`` = bf16 round-trip, ``lo`` = residual), bounding the relative
-    error at ~2^-18 — required for sums of log-transmittance terms where
-    2^-9 noise would perturb weights by whole percents.
-    """
-    hi = values.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = values - hi
-    return jnp.dot(mask, hi, preferred_element_type=jnp.float32) + jnp.dot(
-        mask, lo, preferred_element_type=jnp.float32
-    )
-
-
 def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
                  white_background, splits, has_view=True):
+    """Fused fine-stage train objective, scalar chain in [rays, S] LANE
+    layout (module docstring): fine MLP (row layout) -> lane-relayout
+    densities -> lane dists/alphas/prefix ladders -> per-ray cross-block
+    Dekker dots -> union rgb/loss -> lane backward -> row-relayout
+    (g_dens, g_col) -> MLP backward with the VMEM-resident chain."""
     xf_ref = refs[0]
     df_ref = refs[1] if has_view else None
     k = 2 if has_view else 1
-    (auxf_ref, auxc_ref, tfblk_ref, tcblk_ref) = refs[k : k + 4]
-    k += 4
+    (tf_ref, tc_ref, densc_ref, noisef_ref, dnorm_ref, pix_ref) = (
+        refs[k : k + 6]
+    )
+    k += 6
+    colc_refs = refs[k : k + cols]  # coarse color logits, [rays, Sc]/chan
+    k += cols
     order = _pack_order(has_view)
     w = dict(zip(order, refs[k : k + len(order)]))
     outs = list(refs[k + len(order) :])
     loss_ref = outs.pop(0)
-    grad_refs = dict(zip(order, outs))
-    gauxc_ref = outs[len(order)]
+    grad_refs = dict(zip(order, outs[: len(order)]))
+    gdensc_ref = outs[len(order)]
+    gcolc_refs = outs[len(order) + 1 : len(order) + 1 + cols]
     (dwhh_ref, db_ref, dg_ref, dbeta_ref) = (
         grad_refs.pop("whh"), grad_refs.pop("b"), grad_refs.pop("g"),
         grad_refs.pop("beta"),
@@ -159,205 +150,189 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
     tile_f = xf_ref.shape[0]
     rows_f = tile_f // splits
     rays_sl = rows_f // s_fine
-    rows_c = rays_sl * s_coarse
-    pos_f = jax.lax.broadcasted_iota(jnp.int32, (rows_f, 1), 0) % s_fine
-    pos_c = jax.lax.broadcasted_iota(jnp.int32, (rows_c, 1), 0) % s_coarse
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (rays_sl, s_fine), 1)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (rays_sl, s_coarse), 1)
 
     acc = None
     loss_sum = jnp.zeros((1, 1), jnp.float32)
     off = 1.0 if white_background else 0.0
     for s in range(splits):
         fsl = slice(s * rows_f, (s + 1) * rows_f)
-        csl = slice(s * rows_c, (s + 1) * rows_c)
+        rsl = slice(s * rays_sl, (s + 1) * rays_sl)
         x = xf_ref[fsl, :]
         d = df_ref[fsl, :] if has_view else None
-        auxf = auxf_ref[fsl, :]
-        auxc = auxc_ref[csl, :]
-        t_f = auxf[:, 0:1]
-        noise = auxf[:, 1:2]
-        dnorm_f = auxf[:, 2:3]
-        pix_f = auxf[:, 3 : 3 + cols]
-        # col_c leads the coarse aux lanes: multi-lane fields that feed
-        # anything beyond elementwise math must sit at lane offset 0 —
-        # Mosaic cannot lower a ladder/matmul operand carrying a non-zero
-        # lane offset ("result/input offset mismatch on non-concat
-        # dimension", reproduced in isolation on v5e).  Width-1 slices and
-        # elementwise-only fields (pix) are offset-safe — the coarse-only
-        # fused_train kernel relies on exactly that.
-        col_c = auxc[:, 0:cols]
-        t_c = auxc[:, cols : cols + 1]
-        dens_c = auxc[:, cols + 1 : cols + 2]
-        dnorm_c = auxc[:, cols + 2 : cols + 3]
-        pix_c = auxc[:, cols + 3 : 2 * cols + 3]
+        t_f_l = tf_ref[rsl, :]  # [rays_sl, Sf]
+        t_c_l = tc_ref[rsl, :]  # [rays_sl, Sc]
+        dens_c_l = densc_ref[rsl, :]
+        noise_l = noisef_ref[rsl, :]
+        dnorm = dnorm_ref[rsl, :]  # [rays_sl, 1]
+        pix = pix_ref[rsl, :]  # [rays_sl, C]
 
-        # Per-ray [1, S] t-rows / [S, 1] t-columns: the cross-block
-        # structure is block-diagonal over rays, so every cross term runs
-        # on exact per-ray blocks.  Fine-before-coarse is STRICT t
-        # comparison (fine indices follow coarse indices in the
-        # (t, index) total order, so a tie is NOT "before").
-        def ray_tt(ri):
-            gr = s * rays_sl + ri
-            tfr = tfblk_ref[gr : gr + 1, :]  # [1, Sf]
-            tcr = tcblk_ref[gr : gr + 1, :]  # [1, Sc]
-            tfc = t_f[ri * s_fine : (ri + 1) * s_fine, :]  # [Sf, 1]
-            tcc = t_c[ri * s_coarse : (ri + 1) * s_coarse, :]  # [Sc, 1]
-            return tfr, tcr, tfc, tcc
+        # Per-ray t-mask pair: the cross-block structure is block-diagonal
+        # over rays, so every cross term runs on exact per-ray blocks.
+        # Fine-before-coarse is STRICT t comparison (fine indices follow
+        # coarse indices in the (t, index) total order, so a tie is NOT
+        # "before").  P and its complement cover all six per-ray uses:
+        #   P  [Sc, Sf]: t_f[f] <  t_c[c]   (cmin_f, g_laf scatter)
+        #   ~P [Sc, Sf]: t_f[f] >= t_c[c]   (cross_c gather)
+        #   Q  [Sf, Sc]: t_f[f] >= t_c[c]   (cmin_c, g_lac scatter)
+        #   ~Q [Sf, Sc]: t_f[f] <  t_c[c]   (cross_f gather)
+        def tparts(ri):
+            tfr = t_f_l[ri : ri + 1, :]  # [1, Sf]
+            tcr = t_c_l[ri : ri + 1, :]  # [1, Sc]
+            tfc = tfr.reshape(s_fine, 1)
+            tcc = tcr.reshape(s_coarse, 1)
+            p = jnp.broadcast_to(tfr, (s_coarse, s_fine)) < tcc
+            q = tfc >= jnp.broadcast_to(tcr, (s_fine, s_coarse))
+            return tfr, tcr, tfc, tcc, p, q
 
-        def cat(pieces):
-            return jnp.concatenate(pieces, axis=0)
+        def rays(fn):  # [1, X] per-ray pieces -> [rays_sl, X]
+            return jnp.concatenate(
+                [fn(ri) for ri in range(rays_sl)], axis=0
+            )
 
         # ---- union interval lengths (unsorted_dists specialized) -------
         # Successor of a fine slot: its next in-block neighbour or the
-        # first same-ray coarse sample with t_c > t_f (strict — ties sort
-        # coarse-first); of a coarse slot: next neighbour or the first
-        # fine with t_f >= t_c.  Per-ray masked mins against the other
-        # block.
-        cmin_f, cmin_c = [], []
-        for ri in range(rays_sl):
-            tfr, tcr, tfc, tcc = ray_tt(ri)
-            cmin_f.append(jnp.min(jnp.where(
-                tfc < tcr, jnp.broadcast_to(tcr, (s_fine, s_coarse)), _INF
-            ), axis=1, keepdims=True))
-            cmin_c.append(jnp.min(jnp.where(
-                tfr >= tcc, jnp.broadcast_to(tfr, (s_coarse, s_fine)), _INF
-            ), axis=1, keepdims=True))
-        nxt_f = jnp.where(pos_f <= s_fine - 2, _shift_up(t_f, 1), _INF)
-        succ_f = jnp.minimum(nxt_f, cat(cmin_f))
-        dist_f = jnp.where(succ_f < _FIN, (succ_f - t_f) * dnorm_f, 1e10)
-        nxt_c = jnp.where(pos_c <= s_coarse - 2, _shift_up(t_c, 1), _INF)
-        succ_c = jnp.minimum(nxt_c, cat(cmin_c))
-        dist_c = jnp.where(succ_c < _FIN, (succ_c - t_c) * dnorm_c, 1e10)
+        # first same-ray coarse sample with t_c > t_f (strict); of a
+        # coarse slot: next neighbour or the first fine with t_f >= t_c.
+        def cmin_f(ri):
+            tfr, tcr, tfc, tcc, p, q = tparts(ri)
+            return jnp.min(jnp.where(
+                p, jnp.broadcast_to(tcc, (s_coarse, s_fine)), _INF
+            ), axis=0, keepdims=True)  # [1, Sf]
+
+        def cmin_c(ri):
+            tfr, tcr, tfc, tcc, p, q = tparts(ri)
+            return jnp.min(jnp.where(
+                q, jnp.broadcast_to(tfc, (s_fine, s_coarse)), _INF
+            ), axis=0, keepdims=True)  # [1, Sc]
+
+        nxt_f = jnp.where(
+            lane_f <= s_fine - 2, _lane_shift_up(t_f_l, 1), _INF
+        )
+        succ_f = jnp.minimum(nxt_f, rays(cmin_f))
+        dist_f = jnp.where(succ_f < _FIN, (succ_f - t_f_l) * dnorm, 1e10)
+        nxt_c = jnp.where(
+            lane_c <= s_coarse - 2, _lane_shift_up(t_c_l, 1), _INF
+        )
+        succ_c = jnp.minimum(nxt_c, rays(cmin_c))
+        dist_c = jnp.where(succ_c < _FIN, (succ_c - t_c_l) * dnorm, 1e10)
 
         # ---- coarse-side union quantities (in-kernel precompute) -------
-        alpha_c = jnp.exp(-jnp.maximum(dens_c, 0.0) * dist_c)
+        alpha_c = jnp.exp(-jnp.maximum(dens_c_l, 0.0) * dist_c)
         ac_eps = alpha_c + 1e-10
         log_ac = jnp.log(ac_eps)
-        pref_c = _seg_exclusive_prefix(log_ac, pos_c, s_coarse)
-        sig_c = jax.nn.sigmoid(col_c)
+        pref_c = _lane_exclusive_prefix(log_ac)
 
         # ---- fine forward (chain kept VMEM-resident) ----
         chain, dens_raw, col = _forward_chain(x, d, w, dt, keep=True)
-        dens = dens_raw + noise
-        alpha_f = jnp.exp(-jnp.maximum(dens, 0.0) * dist_f)
+        dens_l = dens_raw.reshape(rays_sl, s_fine) + noise_l
+        alpha_f = jnp.exp(-jnp.maximum(dens_l, 0.0) * dist_f)
         a_eps = alpha_f + 1e-10
         log_af = jnp.log(a_eps)
-        pref_f = _seg_exclusive_prefix(log_af, pos_f, s_fine)
+        pref_f = _lane_exclusive_prefix(log_af)
 
-        # Partial cross-block log-transmittances: per-ray Dekker mask
-        # matmuls on exact [Sc, Sf] blocks.
-        cc_p, cf_p = [], []
-        for ri in range(rays_sl):
-            tfr, tcr, tfc, tcc = ray_tt(ri)
-            cc_p.append(_dot_exact(
-                (tfc >= tcr).astype(jnp.float32),
-                log_ac[ri * s_coarse : (ri + 1) * s_coarse, :],
-            ))  # [Sf, 1] sum of same-ray coarse log-alphas at/below t_f
-            cf_p.append(_dot_exact(
-                (tfr < tcc).astype(jnp.float32),
-                log_af[ri * s_fine : (ri + 1) * s_fine, :],
-            ))  # [Sc, 1] sum of same-ray fine log-alphas strictly below
-        cross_c = cat(cc_p)  # [rows_f, 1]
-        cross_f = cat(cf_p)  # [rows_c, 1]
-
-        t_fine_full = jnp.exp(cross_c + pref_f)
-        w_f = (1.0 - alpha_f) * t_fine_full
-        sig_f = jax.nn.sigmoid(col)
-        t_coarse_full = jnp.exp(pref_c + cross_f)
-        w_c = (1.0 - alpha_c) * t_coarse_full
-
-        # ---- union compositing with the reused coarse block ----
-        # The other block's same-ray contribution is UNWEIGHTED (the mask
-        # is all-ones per ray), so it is the in-block ladder total of the
-        # other block row-broadcast across this block — no matmul.
-        s_fc = _seg_total(w_f * sig_f, pos_f, s_fine)  # [rows_f, C]
-        s_cc = _seg_total(w_c * sig_c, pos_c, s_coarse)  # [rows_c, C]
-        if white_background:
-            s_wf = _seg_total(w_f, pos_f, s_fine)
-            s_wc = _seg_total(w_c, pos_c, s_coarse)
-
-        def cross_bcast(src_c, src_f, width):
-            # src_c's per-ray row broadcast onto fine rows, src_f's onto
-            # coarse rows (sublane concat only — lane concats of narrow
-            # arrays do not lower in Mosaic).
-            on_f = cat([
-                jnp.broadcast_to(
-                    src_c[ri * s_coarse : ri * s_coarse + 1, :],
-                    (s_fine, width),
-                )
-                for ri in range(rays_sl)
-            ])
-            on_c = cat([
-                jnp.broadcast_to(
-                    src_f[ri * s_fine : ri * s_fine + 1, :],
-                    (s_coarse, width),
-                )
-                for ri in range(rays_sl)
-            ])
-            return on_f, on_c
-
-        x_from_c, x_from_f = cross_bcast(s_cc, s_fc, cols)
-        rgb_f = s_fc + x_from_c
-        rgb_c = s_cc + x_from_f
-        if white_background:
-            aw_f, aw_c = cross_bcast(s_wc, s_wf, 1)
-            acc_f = s_wf + aw_f
-            acc_c = s_wc + aw_c
-            rgb_f = rgb_f + (1.0 - acc_f)
-            rgb_c = rgb_c + (1.0 - acc_c)
-        err_c = rgb_c - pix_c
-        err_f = rgb_f - pix_f
-        loss_sum = loss_sum + (
-            jnp.sum(
-                jnp.mean(err_f * err_f, axis=-1, keepdims=True), keepdims=True
+        # Partial cross-block log-transmittances: per-ray M=1 Dekker dots
+        # with the value as the lane row and the exact 0/1 mask right
+        # (log_ac/log_af are slice-local [rays_sl, S]).
+        def cross_c(ri):  # [1, Sf] same-ray coarse log-alphas at/below t_f
+            tfr, tcr, tfc, tcc, p, q = tparts(ri)
+            return _dot_exact_row(
+                log_ac[ri : ri + 1, :], 1.0 - p.astype(jnp.float32)
             )
-            / s_fine
+
+        def cross_f(ri):  # [1, Sc] same-ray fine log-alphas strictly below
+            tfr, tcr, tfc, tcc, p, q = tparts(ri)
+            return _dot_exact_row(
+                log_af[ri : ri + 1, :], 1.0 - q.astype(jnp.float32)
+            )
+
+        t_fine_full = jnp.exp(rays(cross_c) + pref_f)
+        w_f = (1.0 - alpha_f) * t_fine_full  # [rays_sl, Sf]
+        t_coarse_full = jnp.exp(pref_c + rays(cross_f))
+        w_c = (1.0 - alpha_c) * t_coarse_full  # [rays_sl, Sc]
+
+        # ---- union rgb + stage MSE (per-RAY, no row broadcasts) --------
+        sig_f = jax.nn.sigmoid(col)  # [rows_f, C] row layout
+
+        def rgb_f_ray(ri):  # [1, C] fine rgb: both-side Dekker dot
+            return _dot_exact2(
+                w_f[ri : ri + 1, :],
+                sig_f[ri * s_fine : (ri + 1) * s_fine, :],
+            )
+
+        rgb = rays(rgb_f_ray)  # [rays_sl, C]
+        # Coarse contribution per channel as pure lane reductions,
+        # assembled into the [rays_sl, C] row with an iota select (lane
+        # concats of narrow arrays do not lower in Mosaic).
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (rays_sl, cols), 1)
+        sig_cl = []
+        for c in range(cols):
+            sc_ch = jax.nn.sigmoid(colc_refs[c][rsl, :])  # [rays_sl, Sc]
+            sig_cl.append(sc_ch)
+            rgb_cc = jnp.sum(w_c * sc_ch, axis=1, keepdims=True)
+            rgb = rgb + jnp.where(cidx == c, rgb_cc, 0.0)
+        if white_background:
+            acc_w = jnp.sum(w_f, axis=1, keepdims=True) + jnp.sum(
+                w_c, axis=1, keepdims=True
+            )  # [rays_sl, 1]
+            rgb = rgb + (1.0 - acc_w)
+        err = rgb - pix  # [rays_sl, C]
+        loss_sum = loss_sum + jnp.sum(
+            jnp.mean(err * err, axis=-1, keepdims=True), keepdims=True
         )
 
         # ---- backward ----
-        g_rgb_f = err_f * g_scale
-        g_rgb_c = err_c * g_scale
-        g_col = w_f * sig_f * (1.0 - sig_f) * g_rgb_f
-        g_wf = jnp.sum((sig_f - off) * g_rgb_f, axis=-1, keepdims=True)
-        g_sigc = w_c * g_rgb_c  # [rows_c, C]
-        g_wc = jnp.sum((sig_c - off) * g_rgb_c, axis=-1, keepdims=True)
+        g_rgb = err * g_scale  # [rays_sl, C]
+        # Fine color head (row layout): per-ray cotangent broadcast +
+        # lane->row relayout of the fine weights.
+        g_rgb_row = rays2rows(g_rgb, rays_sl, s_fine)
+        w_f_row = _lane2rows(w_f)
+        g_col = w_f_row * sig_f * (1.0 - sig_f) * g_rgb_row
+        g_wf_row = jnp.sum(
+            (sig_f - off) * g_rgb_row, axis=-1, keepdims=True
+        )
+        g_wf = g_wf_row.reshape(rays_sl, s_fine)  # row->lane relayout
+        # Coarse side: fully lane-dense.
+        g_wc = jnp.zeros((rays_sl, s_coarse), jnp.float32)
+        for c in range(cols):
+            g_ch = g_rgb[:, c : c + 1]  # [rays_sl, 1]
+            g_wc = g_wc + (sig_cl[c] - off) * g_ch
+            gcolc_refs[c][rsl, :] = (
+                sig_cl[c] * (1.0 - sig_cl[c]) * w_c * g_ch
+            )
         g_alpha_c = -t_coarse_full * g_wc
         g_logt_c = (1.0 - alpha_c) * t_coarse_full * g_wc
         g_logt_f = (1.0 - alpha_f) * t_fine_full * g_wf
         # cross_f's cotangent scatters back to every fine log-alpha below
-        # the coarse sample (transposed strict mask); cross_c's to every
-        # coarse log-alpha at/below the fine sample — per-ray blocks.
-        glaf_p, glac_p = [], []
-        for ri in range(rays_sl):
-            tfr, tcr, tfc, tcc = ray_tt(ri)
-            glaf_p.append(_dot_exact(
-                (tfc < tcr).astype(jnp.float32),
-                g_logt_c[ri * s_coarse : (ri + 1) * s_coarse, :],
-            ))  # [Sf, 1]
-            glac_p.append(_dot_exact(
-                (tfr >= tcc).astype(jnp.float32),
-                g_logt_f[ri * s_fine : (ri + 1) * s_fine, :],
-            ))  # [Sc, 1]
-        g_laf = cat(glaf_p)
-        g_alpha_f = -t_fine_full * g_wf
-        g_laf = g_laf + _seg_exclusive_suffix(g_logt_f, pos_f, s_fine)
-        g_alpha_f = g_alpha_f + g_laf / a_eps
-        g_dens = g_alpha_f * (-dist_f * alpha_f) * (dens > 0.0).astype(
-            jnp.float32
-        )
-        # Coarse-side backward, all the way to (dens_c, col_c): pref_c
-        # scatters as the in-block exclusive suffix, cross_c as the
-        # per-ray transposed coarse<=fine mask against g_logt_f.
-        g_logac = _seg_exclusive_suffix(g_logt_c, pos_c, s_coarse)
-        g_logac = g_logac + cat(glac_p)
-        g_alpha_c = g_alpha_c + g_logac / ac_eps
-        g_dens_c = g_alpha_c * (-dist_c * alpha_c) * (
-            dens_c > 0.0
-        ).astype(jnp.float32)
-        g_col_c = sig_c * (1.0 - sig_c) * g_sigc
+        # the coarse sample; cross_c's to every coarse log-alpha at/below
+        # the fine sample — per-ray transposed masks, value-row dots.
+        def g_laf_ray(ri):  # [1, Sf]
+            tfr, tcr, tfc, tcc, p, q = tparts(ri)
+            return _dot_exact_row(
+                g_logt_c[ri : ri + 1, :], p.astype(jnp.float32)
+            )
 
-        # Sliced stores, not a lane concat (same Mosaic limitation).
-        gauxc_ref[csl, 0:1] = g_dens_c
-        gauxc_ref[csl, 1 : 1 + cols] = g_col_c
+        def g_lac_ray(ri):  # [1, Sc]
+            tfr, tcr, tfc, tcc, p, q = tparts(ri)
+            return _dot_exact_row(
+                g_logt_f[ri : ri + 1, :], q.astype(jnp.float32)
+            )
+
+        g_laf = rays(g_laf_ray) + _lane_exclusive_suffix(g_logt_f)
+        g_alpha_f = -t_fine_full * g_wf + g_laf / a_eps
+        g_dens_l = g_alpha_f * (-dist_f * alpha_f) * (
+            dens_l > 0.0
+        ).astype(jnp.float32)
+        g_dens = _lane2rows(g_dens_l)  # lane->row for the MLP bwd
+        # Coarse-side backward to (dens_c, col_c): pref_c scatters as the
+        # in-block exclusive suffix, cross_c as the per-ray transposed
+        # mask against g_logt_f.
+        g_logac = _lane_exclusive_suffix(g_logt_c) + rays(g_lac_ray)
+        g_alpha_c = g_alpha_c + g_logac / ac_eps
+        gdensc_ref[rsl, :] = g_alpha_c * (-dist_c * alpha_c) * (
+            dens_c_l > 0.0
+        ).astype(jnp.float32)
 
         # MLP backward with NO forward recompute; grads flow only to
         # params (the fine encodings carry no parameter dependence).
@@ -378,6 +353,31 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         dbeta_ref[i, :] += acc["beta"][i]
     for j in range(w["whh"].shape[0]):
         dwhh_ref[j, :, :] += acc["whh"][j]
+
+
+def rays2rows(v: Array, rays_sl: int, s: int) -> Array:
+    """Per-ray rows ``[rays_sl, C]`` -> row layout ``[rays_sl*s, C]`` by
+    broadcasting each ray's row over its s sample rows (sublane concat)."""
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(v[ri : ri + 1, :], (s, v.shape[1]))
+            for ri in range(rays_sl)
+        ],
+        axis=0,
+    )
+
+
+def _lane2rows(v: Array) -> Array:
+    """Lane layout ``[rays, S]`` -> column ``[rays*S, 1]``.  Mosaic's
+    infer-vector-layout rejects the multi-row shape cast ("unsupported
+    shape cast" on (4,128)->(512,1), reproduced on v5e), but the
+    single-row ``[1, S] -> [S, 1]`` transpose lowers — so go per ray and
+    sublane-concat (the row->lane DIRECTION is supported whole)."""
+    s = v.shape[1]
+    return jnp.concatenate(
+        [v[ri : ri + 1, :].reshape(s, 1) for ri in range(v.shape[0])],
+        axis=0,
+    )
 
 
 # ---- lane-layout helpers (eval kernel) ---------------------------------
@@ -422,10 +422,23 @@ def _lane_exclusive_prefix(v: Array) -> Array:
     return out
 
 
+def _lane_exclusive_suffix(v: Array) -> Array:
+    """Exclusive suffix sum along lanes (the transpose of the prefix)."""
+    out = _lane_shift_up(v, 1)
+    m = 1
+    while m < v.shape[1] - 1:
+        out = out + _lane_shift_up(out, m)
+        m *= 2
+    return out
+
+
 def _dot_exact_row(values: Array, mat: Array) -> Array:
     """``values @ mat`` with the LEFT (value) operand Dekker split — the
-    row-layout mirror of ``_dot_exact`` (``mat`` must be exact in bf16,
-    e.g. a 0/1 mask)."""
+    row-layout half of the Dekker-split pair (``mat`` must be exact in
+    bf16, e.g. a 0/1 mask): the MXU's DEFAULT precision truncates f32
+    operands to bf16 — a ~2^-9 relative error that is benign for
+    value-dominated matmuls but NOT for sums of log-transmittance terms
+    reaching ``log(1e-10) ~ -23``; the one-step split bounds it ~2^-18."""
     hi = values.astype(jnp.bfloat16).astype(jnp.float32)
     lo = values - hi
     return jnp.dot(hi, mat, preferred_element_type=jnp.float32) + jnp.dot(
@@ -742,7 +755,9 @@ def fine_stage_train_pallas(
     Union interval lengths and every coarse-side union quantity are
     computed in-kernel from these raw inputs, and the backward emits the
     ``(g_dens_c, g_col_c)`` cotangents directly — no XLA precompute, no
-    ``jax.vjp`` wrapper, no [B, Sf, Sc] HBM masks.
+    ``jax.vjp`` wrapper, no [B, Sf, Sc] HBM masks.  Every scalar operand
+    and cotangent crosses the kernel boundary LANE-DENSE (module
+    docstring) — the only row-layout traffic is the fine encodings.
 
     Returns ``(loss, grads, (g_dens_c [B, Sc, 1], g_col_c [B, Sc, C]))``.
     """
@@ -755,10 +770,9 @@ def fine_stage_train_pallas(
     cols = pixels.shape[-1]
     xe = x_enc.shape[-1]
     total_f = n_rays * s_fine
-    total_c = n_rays * s_coarse
     r, splits = _pick_tiling(n_rays, s_fine, interpret)
     grid = n_rays // r
-    tile_f, tile_c = r * s_fine, r * s_coarse
+    tile_f = r * s_fine
 
     x2 = x_enc.reshape(total_f, xe).astype(compute_dtype)
     d_ops, d_specs = (), ()
@@ -766,41 +780,26 @@ def fine_stage_train_pallas(
         de = d_enc.shape[-1]
         d_ops = (d_enc.reshape(total_f, de).astype(compute_dtype),)
         d_specs = (_tile_spec(tile_f, de),)
-    pix_f = jnp.broadcast_to(pixels[:, None, :], (n_rays, s_fine, cols))
-    pix_c = jnp.broadcast_to(pixels[:, None, :], (n_rays, s_coarse, cols))
-    dnorm_f = jnp.broadcast_to(dnorm[:, None], (n_rays, s_fine))
-    dnorm_c = jnp.broadcast_to(dnorm[:, None], (n_rays, s_coarse))
-    aux_f = jnp.concatenate(
-        [
-            t_fine[..., None],
-            noise_f[..., None],
-            dnorm_f[..., None],
-            pix_f,
-        ],
-        axis=-1,
-    ).reshape(total_f, 3 + cols)
-    aux_c = jnp.concatenate(
-        [
-            col_c,
-            t_coarse[..., None],
-            dens_c,
-            dnorm_c[..., None],
-            pix_c,
-        ],
-        axis=-1,
-    ).reshape(total_c, 3 + 2 * cols)
+    densc_l = dens_c.reshape(n_rays, s_coarse)
+    dnorm2 = dnorm.reshape(n_rays, 1)
+    colc_chans = [col_c[..., c] for c in range(cols)]  # [n_rays, Sc] each
 
     packed = pack_classic_params(params)
     weights = [packed[k] for k in order]
 
     n_w = len(order)
+    lane_c = pl.BlockSpec((r, s_coarse), lambda i: (i, 0))
+    lane_f = pl.BlockSpec((r, s_fine), lambda i: (i, 0))
     out_shapes = (
         [jax.ShapeDtypeStruct((1, 1), jnp.float32)]  # loss accumulator
         + [jax.ShapeDtypeStruct(packed[k].shape, jnp.float32) for k in order]
-        + [jax.ShapeDtypeStruct((total_c, _n_gaux(cols)), jnp.float32)]
+        + [
+            jax.ShapeDtypeStruct((n_rays, s_coarse), jnp.float32)
+            for _ in range(1 + cols)  # g_dens_c + g_col_c channels
+        ]
     )
     out_specs = [_full_spec(s.shape) for s in out_shapes[: 1 + n_w]] + [
-        _tile_spec(tile_c, _n_gaux(cols)),
+        lane_c for _ in range(1 + cols)
     ]
 
     outs = pl.pallas_call(
@@ -820,24 +819,27 @@ def fine_stage_train_pallas(
         in_specs=[
             _tile_spec(tile_f, xe),
             *d_specs,
-            _tile_spec(tile_f, 3 + cols),
-            _tile_spec(tile_c, 3 + 2 * cols),
-            pl.BlockSpec((r, s_fine), lambda i: (i, 0)),
-            pl.BlockSpec((r, s_coarse), lambda i: (i, 0)),
+            lane_f,
+            lane_c,
+            lane_c,
+            lane_f,
+            pl.BlockSpec((r, 1), lambda i: (i, 0)),
+            pl.BlockSpec((r, cols), lambda i: (i, 0)),
+            *[lane_c for _ in range(cols)],
             *[_full_spec(wt.shape) for wt in weights],
         ],
         out_specs=out_specs,
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(x2, *d_ops, aux_f, aux_c, t_fine, t_coarse, *weights)
+    )(x2, *d_ops, t_fine, t_coarse, densc_l, noise_f, dnorm2, pixels,
+      *colc_chans, *weights)
 
     loss = loss_weight * outs[0][0, 0] / n_rays
     grads = unpack_classic_grads(
         dict(zip(order, outs[1 : 1 + n_w])), params
     )
-    gaux = outs[1 + n_w]
-    g_dens_c = gaux[:, 0:1].reshape(n_rays, s_coarse, 1)
-    g_col_c = gaux[:, 1 : 1 + cols].reshape(n_rays, s_coarse, cols)
+    g_dens_c = outs[1 + n_w][..., None]  # [B, Sc, 1]
+    g_col_c = jnp.stack(outs[2 + n_w : 2 + n_w + cols], axis=-1)
     return loss, grads, (g_dens_c, g_col_c)
 
 

@@ -35,6 +35,33 @@ from nerf_tpu.train.state import TrainState, create_train_state, fold_key
 Array = jax.Array
 
 
+class TrainDivergedError(RuntimeError):
+    """Raised by ``Trainer.fit`` when a training chunk produces a
+    non-finite loss — surfaces the exact offending step instead of
+    silently training on garbage (NaN params poison every later step
+    AND every later checkpoint)."""
+
+
+def _check_finite_losses(losses, first_step: int) -> None:
+    """Raise ``TrainDivergedError`` at the first non-finite chunk loss.
+
+    ``losses``: host array of the chunk's per-step losses;
+    ``first_step``: global step index of the chunk's first entry.
+    """
+    import numpy as np
+
+    finite = np.isfinite(losses)
+    if finite.all():
+        return
+    bad = int(np.argmax(~finite))
+    last_good = float(losses[bad - 1]) if bad else float("nan")
+    raise TrainDivergedError(
+        f"non-finite loss {losses[bad]!r} at step {first_step + bad} "
+        f"(previous step's loss: {last_good:.6g}); inspect the run with "
+        "scripts/nan_hunt.py"
+    )
+
+
 def make_loss_fn(
     model,
     render: RenderConfig,
@@ -587,9 +614,12 @@ class Trainer:
             step = boundary
             if heartbeat is not None:
                 heartbeat.update(step)
+            # Non-finite guard on EVERY chunk (the per-step loss vector is
+            # a few KB — the fetch is free next to the chunk itself).
+            aux = jax.device_get(aux)
+            _check_finite_losses(aux["loss"], step - k + 1)
 
             if step % cfg.log_interval == 0 or step == num_steps:
-                aux = jax.device_get(aux)
                 now = time.time()
                 rays_per_s = cfg.batch_size * k / max(now - last_t, 1e-9)
                 record = dict(
