@@ -110,7 +110,8 @@ _FIN = 1e37
 
 
 def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
-                 white_background, splits, has_view=True):
+                 white_background, splits, has_view=True,
+                 ablate=frozenset()):
     """Fused fine-stage train objective, scalar chain in [rays, S] LANE
     layout (module docstring): fine MLP (row layout) -> lane-relayout
     densities -> lane dists/alphas/prefix ladders -> per-ray cross-block
@@ -139,6 +140,20 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
     flat_refs = grad_refs  # the non-stacked weight-grad refs, by name
     w = {k2: v[:] for k2, v in w.items()}
     dt = compute_dtype
+
+    # Profiling ablations (scripts/hier_ablate.py) — static trace-time
+    # switches, zero cost on the real path.
+    dot_row = _dot_exact_row
+    dot2 = _dot_exact2
+    if "dekker" in ablate:
+        dot_row = lambda v, m: jnp.dot(  # noqa: E731
+            v, m, preferred_element_type=jnp.float32
+        )
+        dot2 = dot_row
+    prefix = _lane_exclusive_prefix
+    suffix = _lane_exclusive_suffix
+    if "ladders" in ablate:
+        prefix = suffix = jnp.zeros_like
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -210,19 +225,21 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         nxt_f = jnp.where(
             lane_f <= s_fine - 2, _lane_shift_up(t_f_l, 1), _INF
         )
-        succ_f = jnp.minimum(nxt_f, rays(cmin_f))
+        succ_f = (nxt_f if "cmin" in ablate
+                  else jnp.minimum(nxt_f, rays(cmin_f)))
         dist_f = jnp.where(succ_f < _FIN, (succ_f - t_f_l) * dnorm, 1e10)
         nxt_c = jnp.where(
             lane_c <= s_coarse - 2, _lane_shift_up(t_c_l, 1), _INF
         )
-        succ_c = jnp.minimum(nxt_c, rays(cmin_c))
+        succ_c = (nxt_c if "cmin" in ablate
+                  else jnp.minimum(nxt_c, rays(cmin_c)))
         dist_c = jnp.where(succ_c < _FIN, (succ_c - t_c_l) * dnorm, 1e10)
 
         # ---- coarse-side union quantities (in-kernel precompute) -------
         alpha_c = jnp.exp(-jnp.maximum(dens_c_l, 0.0) * dist_c)
         ac_eps = alpha_c + 1e-10
         log_ac = jnp.log(ac_eps)
-        pref_c = _lane_exclusive_prefix(log_ac)
+        pref_c = prefix(log_ac)
 
         # ---- fine forward (chain kept VMEM-resident) ----
         chain, dens_raw, col = _forward_chain(x, d, w, dt, keep=True)
@@ -230,33 +247,38 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         alpha_f = jnp.exp(-jnp.maximum(dens_l, 0.0) * dist_f)
         a_eps = alpha_f + 1e-10
         log_af = jnp.log(a_eps)
-        pref_f = _lane_exclusive_prefix(log_af)
+        pref_f = prefix(log_af)
 
         # Partial cross-block log-transmittances: per-ray M=1 Dekker dots
         # with the value as the lane row and the exact 0/1 mask right
         # (log_ac/log_af are slice-local [rays_sl, S]).
         def cross_c(ri):  # [1, Sf] same-ray coarse log-alphas at/below t_f
             tfr, tcr, tfc, tcc, p, q = tparts(ri)
-            return _dot_exact_row(
+            return dot_row(
                 log_ac[ri : ri + 1, :], 1.0 - p.astype(jnp.float32)
             )
 
         def cross_f(ri):  # [1, Sc] same-ray fine log-alphas strictly below
             tfr, tcr, tfc, tcc, p, q = tparts(ri)
-            return _dot_exact_row(
+            return dot_row(
                 log_af[ri : ri + 1, :], 1.0 - q.astype(jnp.float32)
             )
 
-        t_fine_full = jnp.exp(rays(cross_c) + pref_f)
+        if "crossdots" in ablate:
+            cross_cl = jnp.zeros((rays_sl, s_fine), jnp.float32)
+            cross_fl = jnp.zeros((rays_sl, s_coarse), jnp.float32)
+        else:
+            cross_cl, cross_fl = rays(cross_c), rays(cross_f)
+        t_fine_full = jnp.exp(cross_cl + pref_f)
         w_f = (1.0 - alpha_f) * t_fine_full  # [rays_sl, Sf]
-        t_coarse_full = jnp.exp(pref_c + rays(cross_f))
+        t_coarse_full = jnp.exp(pref_c + cross_fl)
         w_c = (1.0 - alpha_c) * t_coarse_full  # [rays_sl, Sc]
 
         # ---- union rgb + stage MSE (per-RAY, no row broadcasts) --------
         sig_f = jax.nn.sigmoid(col)  # [rows_f, C] row layout
 
         def rgb_f_ray(ri):  # [1, C] fine rgb: both-side Dekker dot
-            return _dot_exact2(
+            return dot2(
                 w_f[ri : ri + 1, :],
                 sig_f[ri * s_fine : (ri + 1) * s_fine, :],
             )
@@ -309,17 +331,23 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         # the fine sample — per-ray transposed masks, value-row dots.
         def g_laf_ray(ri):  # [1, Sf]
             tfr, tcr, tfc, tcc, p, q = tparts(ri)
-            return _dot_exact_row(
+            return dot_row(
                 g_logt_c[ri : ri + 1, :], p.astype(jnp.float32)
             )
 
         def g_lac_ray(ri):  # [1, Sc]
             tfr, tcr, tfc, tcc, p, q = tparts(ri)
-            return _dot_exact_row(
+            return dot_row(
                 g_logt_f[ri : ri + 1, :], q.astype(jnp.float32)
             )
 
-        g_laf = rays(g_laf_ray) + _lane_exclusive_suffix(g_logt_f)
+        if "crossdots" in ablate:
+            g_laf_cross = jnp.zeros((rays_sl, s_fine), jnp.float32)
+            g_lac_cross = jnp.zeros((rays_sl, s_coarse), jnp.float32)
+        else:
+            g_laf_cross = rays(g_laf_ray)
+            g_lac_cross = rays(g_lac_ray)
+        g_laf = g_laf_cross + suffix(g_logt_f)
         g_alpha_f = -t_fine_full * g_wf + g_laf / a_eps
         g_dens_l = g_alpha_f * (-dist_f * alpha_f) * (
             dens_l > 0.0
@@ -328,7 +356,7 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         # Coarse-side backward to (dens_c, col_c): pref_c scatters as the
         # in-block exclusive suffix, cross_c as the per-ray transposed
         # mask against g_logt_f.
-        g_logac = _lane_exclusive_suffix(g_logt_c) + rays(g_lac_ray)
+        g_logac = suffix(g_logt_c) + g_lac_cross
         g_alpha_c = g_alpha_c + g_logac / ac_eps
         gdensc_ref[rsl, :] = g_alpha_c * (-dist_c * alpha_c) * (
             dens_c_l > 0.0
@@ -412,8 +440,21 @@ def _lane_shift_up(v: Array, m: int) -> Array:
 
 
 def _lane_exclusive_prefix(v: Array) -> Array:
-    """Exclusive prefix sum along lanes (one ray per sublane row) —
-    Hillis-Steele doubling on zero-filled shifts, no segment masks."""
+    """Exclusive prefix sum along lanes (one ray per sublane row).
+
+    In-kernel this is a strict-lower-triangular Dekker mask matmul, not a
+    Hillis-Steele shift ladder: the round-4 chip ablations priced the four
+    ladders at ~1.2 ms/step (fine kernel 8.58 -> 7.39 ms with them
+    ablated) while the kernel's MXU sits at ~56% of peak with tiny dots
+    measuring ~free — so the O(log S) VPU roll chain loses to one [rays,
+    S] @ [S, S] matmul that hides behind the MLP's pipeline.  Outside a
+    kernel (plain jnp arrays) the zero-filled shift ladder is kept: XLA
+    fuses it and there is no MXU to hide a mask matmul behind."""
+    if isinstance(v, jax.core.Tracer):
+        s = v.shape[1]
+        k = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        return _dot_exact_row(v, (k < c).astype(jnp.float32))
     out = _lane_shift_down(v, 1)
     m = 1
     while m < v.shape[1] - 1:
@@ -424,6 +465,11 @@ def _lane_exclusive_prefix(v: Array) -> Array:
 
 def _lane_exclusive_suffix(v: Array) -> Array:
     """Exclusive suffix sum along lanes (the transpose of the prefix)."""
+    if isinstance(v, jax.core.Tracer):
+        s = v.shape[1]
+        k = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        return _dot_exact_row(v, (k > c).astype(jnp.float32))
     out = _lane_shift_up(v, 1)
     m = 1
     while m < v.shape[1] - 1:
@@ -737,6 +783,7 @@ def fine_stage_train_pallas(
     white_background: bool = False,
     loss_weight: float = 1.0,
     interpret: bool | None = None,
+    ablate: frozenset = frozenset(),
 ) -> Tuple[Array, Dict[str, Any], Tuple[Array, Array]]:
     """One fused evaluation of the disjoint-stage fine objective.
 
@@ -813,6 +860,7 @@ def fine_stage_train_pallas(
             white_background=white_background,
             splits=splits,
             has_view=has_view,
+            ablate=ablate,
         ),
         out_shape=out_shapes,
         grid=(grid,),

@@ -193,6 +193,7 @@ def make_multi_step_train_fn(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
+        aux["grad_norm"] = optax.global_norm(grads)
         return (
             TrainState(state.step + 1, params, opt_state, state.key),
             aux,

@@ -54,6 +54,9 @@ def main() -> None:
     ap.add_argument("--noise", type=float, default=1.0)
     ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--skip-jax", action="store_true",
+                    help="run only the torch half (the two halves are "
+                    "independent; run them in parallel and merge the JSONs)")
     ap.add_argument("--out", default=None, help="write JSON results here")
     args = ap.parse_args()
 
@@ -101,24 +104,27 @@ def main() -> None:
         train_images, scene.pose_o[:holdout], scene.pose_r[:holdout],
         scene.focal,
     )
-    opt = optax.adam(args.lr)
-    state = create_train_state(model.init(jax.random.PRNGKey(0)), opt)
-    chunk = args.eval_every
-    run = make_multi_step_train_fn(
-        model, opt, render, bank, args.batch_size, chunk
-    )
-    jax_curve = []
-    t0 = time.time()
-    for step in range(chunk, args.steps + 1, chunk):
-        state, aux = run(state)
-        _, value = evaluate(model, state.params, scene, render, holdout)
-        jax_curve.append((step, float(value)))
-        print(f"[nerf_tpu] step {step}: holdout PSNR {float(value):.2f} dB",
-              flush=True)
-        results["nerf_tpu"] = {
-            "curve": jax_curve, "walltime_s": time.time() - t0,
-        }
-        checkpoint_results()
+    if not args.skip_jax:
+        opt = optax.adam(args.lr)
+        state = create_train_state(model.init(jax.random.PRNGKey(0)), opt)
+        chunk = args.eval_every
+        run = make_multi_step_train_fn(
+            model, opt, render, bank, args.batch_size, chunk
+        )
+        jax_curve = []
+        t0 = time.time()
+        for step in range(chunk, args.steps + 1, chunk):
+            state, aux = run(state)
+            _, value = evaluate(model, state.params, scene, render, holdout)
+            jax_curve.append((step, float(value)))
+            print(
+                f"[nerf_tpu] step {step}: holdout PSNR "
+                f"{float(value):.2f} dB", flush=True,
+            )
+            results["nerf_tpu"] = {
+                "curve": jax_curve, "walltime_s": time.time() - t0,
+            }
+            checkpoint_results()
 
     # ---- torch v1.2 -------------------------------------------------------
     if not args.skip_torch:
