@@ -166,7 +166,23 @@ def sample_pdf(
     # operands are then mask-contractions — multiply + reduce, no gather.
     lo = cdf[..., None, :-1]  # [..., 1, B]
     hi = cdf[..., None, 1:]
-    sel = ((u[..., :, None] >= lo) & (u[..., :, None] < hi)).astype(bins.dtype)
+    # Close the TOP interval.  Float rounding can land a jittered u
+    # exactly on 1.0 ((S-1 + jitter)/S rounds up once jitter >= 1 -
+    # S*2^-25, ~4e-6 per ray), and a u matching NO half-open interval
+    # would make every mask-contraction sum zero — silently emitting
+    # t = 0.0, OUTSIDE [near, far], which flips merged interval lengths
+    # negative downstream and detonates exp(-sigma * dist) (the
+    # step-3350 NaN divergence; scripts/nan_hunt.py).  The reference's
+    # ``torch.searchsorted`` + index clamp is immune
+    # (/root/reference/nerf/model.py sample_pdf); closing the last
+    # SELECTION edge is the dense-mask equivalent (the interpolation
+    # operands below keep the true cdf edge).
+    sel_hi = jnp.concatenate(
+        [hi[..., :-1], jnp.full_like(hi[..., :1], jnp.inf)], axis=-1
+    )
+    sel = ((u[..., :, None] >= lo) & (u[..., :, None] < sel_hi)).astype(
+        bins.dtype
+    )
     cdf_below = jnp.sum(sel * lo, axis=-1)
     cdf_above = jnp.sum(sel * hi, axis=-1)
     bins_below = jnp.sum(sel * bins[..., None, :-1], axis=-1)

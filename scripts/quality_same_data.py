@@ -57,12 +57,18 @@ def main() -> None:
     ap.add_argument("--skip-jax", action="store_true",
                     help="run only the torch half (the two halves are "
                     "independent; run them in parallel and merge the JSONs)")
+    ap.add_argument("--chip", action="store_true",
+                    help="run the nerf_tpu half on the default (TPU) "
+                    "platform instead of forcing CPU — amends the "
+                    "controlled-comparison caveat, used when CPU walltime "
+                    "does not allow both halves")
     ap.add_argument("--out", default=None, help="write JSON results here")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if not args.chip:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
 

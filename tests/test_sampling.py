@@ -110,6 +110,36 @@ class TestSamplePDF:
         np.testing.assert_allclose(s[0], [0.125, 0.375, 0.625, 0.875],
                                    atol=1e-4)
 
+    def test_u_rounding_to_one_stays_in_range(self, monkeypatch):
+        # (S-1 + jitter)/S rounds to exactly 1.0 in f32 once jitter >=
+        # 1 - S*2^-25 (~4e-6 per ray at S=128).  A u of 1.0 matches no
+        # half-open cdf interval, and before the closed-top-edge fix the
+        # mask contraction silently emitted t = 0.0 — outside [near,
+        # far] — flipping merged interval lengths negative downstream
+        # (the step-3350 NaN divergence; scripts/nan_hunt.py).
+        orig_uniform = jax.random.uniform
+
+        def ones_jitter(key, shape=(), dtype=float, **kw):
+            return jnp.ones(shape, dtype) * (1.0 - 2.0**-26)
+
+        monkeypatch.setattr(jax.random, "uniform", ones_jitter)
+        try:
+            bins = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 64), (32, 64))
+            weights = jax.random.normal(jax.random.PRNGKey(0), (32, 63))
+            weights = jnp.abs(weights) * 0.01
+            s = np.asarray(
+                sampling.sample_pdf(jax.random.PRNGKey(1), bins, weights, 128)
+            )
+        finally:
+            monkeypatch.setattr(jax.random, "uniform", orig_uniform)
+        # The top stratum's u rounds to 1.0 here; every sample must stay
+        # inside the bin range and sorted.
+        u_top = (127.0 + np.float32(1.0 - 2.0**-26)) / 128.0
+        assert np.float32(u_top) == np.float32(1.0)  # the hazard is live
+        assert s.min() >= 2.0 and s.max() <= 6.0
+        assert np.all(np.diff(s, axis=-1) >= 0)
+        assert np.all(np.isfinite(s))
+
     def test_jit_and_grad_safe(self):
         # Differentiable w.r.t. bins; static shapes under jit.
         key = jax.random.PRNGKey(6)
