@@ -65,12 +65,26 @@ def device_time_by_kernel(trace_dir: str):
 
 
 def classify(by_name):
-    """Bucket kernel names into the step's functional units."""
+    """Bucket kernel names into the step's functional units.
+
+    Aggregate parents (the jit entry, scan ``while`` bodies, call frames
+    that CONTAIN the real kernels) are skipped — the trace nests X events,
+    so summing them double-counts.  Pallas kernels surface as
+    ``closed_call`` (inlined pallas_call) and the custom-VJP pair as
+    ``jvp``/``transpose_jvp`` frames."""
     buckets = defaultdict(float)
     for name, us in by_name.items():
         n = name.lower()
-        if "fused_kernel" in n or "train_kernel" in n or "pallas" in n:
-            buckets["fused train kernel (MLP fwd+bwd+compositing+loss)"] += us
+        if (n == "0" or n.startswith("jit_") or n.startswith("while")
+                or n.startswith("body") or n.startswith("cond")):
+            continue  # aggregate parents of the real kernels
+        if "transpose_jvp" in n:
+            buckets["custom-VJP backward kernel (recompute MLP bwd)"] += us
+        elif n.startswith("jvp"):
+            buckets["custom-VJP forward kernel (MLP fwd)"] += us
+        elif ("fused_kernel" in n or "train_kernel" in n or "pallas" in n
+              or "closed_call" in n):
+            buckets["fused kernel (MLP+compositing+loss[+bwd])"] += us
         elif "sin" in n or "cos" in n or "concatenate" in n and "enc" in n:
             buckets["positional encodings (sine)"] += us
         elif "threefry" in n or "random" in n or "erf_inv" in n:
