@@ -92,7 +92,17 @@ from nerf_tpu.ops.pallas.fused_mlp import (
     _tile_spec,
     pack_classic_params,
 )
-from nerf_tpu.ops.pallas.fused_train import unpack_classic_grads
+from nerf_tpu.ops.pallas.fused_train import (
+    _dot_exact2,
+    _dot_exact_row,
+    _lane2rows,
+    _lane_exclusive_prefix,
+    _lane_exclusive_suffix,
+    _lane_shift_down,
+    _lane_shift_up,
+    rays2rows,
+    unpack_classic_grads,
+)
 
 Array = jax.Array
 
@@ -383,128 +393,9 @@ def _hier_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         dwhh_ref[j, :, :] += acc["whh"][j]
 
 
-def rays2rows(v: Array, rays_sl: int, s: int) -> Array:
-    """Per-ray rows ``[rays_sl, C]`` -> row layout ``[rays_sl*s, C]`` by
-    broadcasting each ray's row over its s sample rows (sublane concat)."""
-    return jnp.concatenate(
-        [
-            jnp.broadcast_to(v[ri : ri + 1, :], (s, v.shape[1]))
-            for ri in range(rays_sl)
-        ],
-        axis=0,
-    )
-
-
-def _lane2rows(v: Array) -> Array:
-    """Lane layout ``[rays, S]`` -> column ``[rays*S, 1]``.  Mosaic's
-    infer-vector-layout rejects the multi-row shape cast ("unsupported
-    shape cast" on (4,128)->(512,1), reproduced on v5e), but the
-    single-row ``[1, S] -> [S, 1]`` transpose lowers — so go per ray and
-    sublane-concat (the row->lane DIRECTION is supported whole)."""
-    s = v.shape[1]
-    return jnp.concatenate(
-        [v[ri : ri + 1, :].reshape(s, 1) for ri in range(v.shape[0])],
-        axis=0,
-    )
-
-
-# ---- lane-layout helpers (eval kernel) ---------------------------------
-# The mosaic_probe measurements price elementwise ops on [N, 1] columns at
-# ~10-20x their [rays, S] lane-layout cost and sublane shift ladders at
-# ~15 us/tile, so the forward-only kernel runs its whole scalar chain in
-# [rays, S] lane layout: lane ladders need NO segment masks (each sublane
-# row is one ray) and every exp/log/where runs lane-dense.
-
-
-def _lane_shift_down(v: Array, m: int) -> Array:
-    """Lanes shifted toward higher indices by m (zeros shifted in)."""
-    if isinstance(v, jax.core.Tracer):
-        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-        return jnp.where(lane >= m, pltpu.roll(v, shift=m, axis=1), 0.0)
-    return jnp.concatenate(
-        [jnp.zeros((v.shape[0], m), v.dtype), v[:, :-m]], axis=1
-    )
-
-
-def _lane_shift_up(v: Array, m: int) -> Array:
-    if isinstance(v, jax.core.Tracer):
-        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-        return jnp.where(
-            lane < v.shape[1] - m,
-            pltpu.roll(v, shift=v.shape[1] - m, axis=1),
-            0.0,
-        )
-    return jnp.concatenate(
-        [v[:, m:], jnp.zeros((v.shape[0], m), v.dtype)], axis=1
-    )
-
-
-def _lane_exclusive_prefix(v: Array) -> Array:
-    """Exclusive prefix sum along lanes (one ray per sublane row).
-
-    In-kernel this is a strict-lower-triangular Dekker mask matmul, not a
-    Hillis-Steele shift ladder: the round-4 chip ablations priced the four
-    ladders at ~1.2 ms/step (fine kernel 8.58 -> 7.39 ms with them
-    ablated) while the kernel's MXU sits at ~56% of peak with tiny dots
-    measuring ~free — so the O(log S) VPU roll chain loses to one [rays,
-    S] @ [S, S] matmul that hides behind the MLP's pipeline.  Outside a
-    kernel (plain jnp arrays) the zero-filled shift ladder is kept: XLA
-    fuses it and there is no MXU to hide a mask matmul behind."""
-    if isinstance(v, jax.core.Tracer):
-        s = v.shape[1]
-        k = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        return _dot_exact_row(v, (k < c).astype(jnp.float32))
-    out = _lane_shift_down(v, 1)
-    m = 1
-    while m < v.shape[1] - 1:
-        out = out + _lane_shift_down(out, m)
-        m *= 2
-    return out
-
-
-def _lane_exclusive_suffix(v: Array) -> Array:
-    """Exclusive suffix sum along lanes (the transpose of the prefix)."""
-    if isinstance(v, jax.core.Tracer):
-        s = v.shape[1]
-        k = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        return _dot_exact_row(v, (k > c).astype(jnp.float32))
-    out = _lane_shift_up(v, 1)
-    m = 1
-    while m < v.shape[1] - 1:
-        out = out + _lane_shift_up(out, m)
-        m *= 2
-    return out
-
-
-def _dot_exact_row(values: Array, mat: Array) -> Array:
-    """``values @ mat`` with the LEFT (value) operand Dekker split — the
-    row-layout half of the Dekker-split pair (``mat`` must be exact in
-    bf16, e.g. a 0/1 mask): the MXU's DEFAULT precision truncates f32
-    operands to bf16 — a ~2^-9 relative error that is benign for
-    value-dominated matmuls but NOT for sums of log-transmittance terms
-    reaching ``log(1e-10) ~ -23``; the one-step split bounds it ~2^-18."""
-    hi = values.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = values - hi
-    return jnp.dot(hi, mat, preferred_element_type=jnp.float32) + jnp.dot(
-        lo, mat, preferred_element_type=jnp.float32
-    )
-
-
-def _dot_exact2(a: Array, b: Array) -> Array:
-    """``a @ b`` with BOTH f32 operands one-step Dekker split (~2^-18
-    relative): for sums where neither side is an exact 0/1 mask (the
-    weight x sigmoid rgb reductions)."""
-    ahi = a.astype(jnp.bfloat16).astype(jnp.float32)
-    alo = a - ahi
-    bhi = b.astype(jnp.bfloat16).astype(jnp.float32)
-    blo = b - bhi
-    return (
-        jnp.dot(ahi, bhi, preferred_element_type=jnp.float32)
-        + jnp.dot(ahi, blo, preferred_element_type=jnp.float32)
-        + jnp.dot(alo, bhi, preferred_element_type=jnp.float32)
-    )
+# The lane-layout machinery (rays2rows/_lane2rows relayouts, lane
+# shifts, MXU triangular prefix/suffix sums, Dekker dots) is shared
+# with the coarse train kernel and lives in fused_train.py.
 
 
 # Eval kernel output lanes per RAY: [rgb(cols), depth, acc].

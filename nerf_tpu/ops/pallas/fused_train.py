@@ -146,62 +146,211 @@ def _seg_total(v, pos, num_samples):
     )
 
 
+# ---- lane-layout helpers (shared with the hier kernels) -----------------
+# One ray per sublane row, samples along lanes: elementwise ops run
+# lane-dense instead of 128x-padded [rows, 1] columns, per-ray reductions
+# are lane reductions, and the prefix/suffix sums ride the MXU (see
+# _lane_exclusive_prefix).  ROOFLINE.md carries the measurements.
+
+
+def rays2rows(v: Array, rays_sl: int, s: int) -> Array:
+    """Per-ray rows ``[rays_sl, C]`` -> row layout ``[rays_sl*s, C]`` by
+    broadcasting each ray's row over its s sample rows (sublane concat)."""
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(v[ri : ri + 1, :], (s, v.shape[1]))
+            for ri in range(rays_sl)
+        ],
+        axis=0,
+    )
+
+
+def _lane2rows(v: Array) -> Array:
+    """Lane layout ``[rays, S]`` -> column ``[rays*S, 1]``.  Mosaic's
+    infer-vector-layout rejects the multi-row shape cast ("unsupported
+    shape cast" on (4,128)->(512,1), reproduced on v5e), but the
+    single-row ``[1, S] -> [S, 1]`` transpose lowers — so go per ray and
+    sublane-concat (the row->lane DIRECTION is supported whole)."""
+    s = v.shape[1]
+    return jnp.concatenate(
+        [v[ri : ri + 1, :].reshape(s, 1) for ri in range(v.shape[0])],
+        axis=0,
+    )
+
+
+def _lane_shift_down(v: Array, m: int) -> Array:
+    """Lanes shifted toward higher indices by m (zeros shifted in)."""
+    if isinstance(v, jax.core.Tracer):
+        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        return jnp.where(lane >= m, pltpu.roll(v, shift=m, axis=1), 0.0)
+    return jnp.concatenate(
+        [jnp.zeros((v.shape[0], m), v.dtype), v[:, :-m]], axis=1
+    )
+
+
+def _lane_shift_up(v: Array, m: int) -> Array:
+    if isinstance(v, jax.core.Tracer):
+        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        return jnp.where(
+            lane < v.shape[1] - m,
+            pltpu.roll(v, shift=v.shape[1] - m, axis=1),
+            0.0,
+        )
+    return jnp.concatenate(
+        [v[:, m:], jnp.zeros((v.shape[0], m), v.dtype)], axis=1
+    )
+
+
+def _lane_exclusive_prefix(v: Array) -> Array:
+    """Exclusive prefix sum along lanes (one ray per sublane row).
+
+    In-kernel this is a strict-lower-triangular Dekker mask matmul, not a
+    Hillis-Steele shift ladder: the round-4 chip ablations priced the four
+    hier ladders at ~1.2 ms/step (fine kernel 8.58 -> 7.39 ms with them
+    ablated) while the kernel's MXU sits at ~56% of peak with tiny dots
+    measuring ~free — so the O(log S) VPU roll chain loses to one [rays,
+    S] @ [S, S] matmul that hides behind the MLP's pipeline.  Outside a
+    kernel (plain jnp arrays) the zero-filled shift ladder is kept: XLA
+    fuses it and there is no MXU to hide a mask matmul behind."""
+    if isinstance(v, jax.core.Tracer):
+        s = v.shape[1]
+        k = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        return _dot_exact_row(v, (k < c).astype(jnp.float32))
+    out = _lane_shift_down(v, 1)
+    m = 1
+    while m < v.shape[1] - 1:
+        out = out + _lane_shift_down(out, m)
+        m *= 2
+    return out
+
+
+def _lane_exclusive_suffix(v: Array) -> Array:
+    """Exclusive suffix sum along lanes (the transpose of the prefix)."""
+    if isinstance(v, jax.core.Tracer):
+        s = v.shape[1]
+        k = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        return _dot_exact_row(v, (k > c).astype(jnp.float32))
+    out = _lane_shift_up(v, 1)
+    m = 1
+    while m < v.shape[1] - 1:
+        out = out + _lane_shift_up(out, m)
+        m *= 2
+    return out
+
+
+def _dot_exact_row(values: Array, mat: Array) -> Array:
+    """``values @ mat`` with the LEFT (value) operand Dekker split — the
+    row-layout half of the Dekker-split pair (``mat`` must be exact in
+    bf16, e.g. a 0/1 mask): the MXU's DEFAULT precision truncates f32
+    operands to bf16 — a ~2^-9 relative error that is benign for
+    value-dominated matmuls but NOT for sums of log-transmittance terms
+    reaching ``log(1e-10) ~ -23``; the one-step split bounds it ~2^-18."""
+    hi = values.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = values - hi
+    return jnp.dot(hi, mat, preferred_element_type=jnp.float32) + jnp.dot(
+        lo, mat, preferred_element_type=jnp.float32
+    )
+
+
+def _dot_exact2(a: Array, b: Array) -> Array:
+    """``a @ b`` with BOTH f32 operands one-step Dekker split (~2^-18
+    relative): for sums where neither side is an exact 0/1 mask (the
+    weight x sigmoid rgb reductions)."""
+    ahi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    alo = a - ahi
+    bhi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    blo = b - bhi
+    return (
+        jnp.dot(ahi, bhi, preferred_element_type=jnp.float32)
+        + jnp.dot(ahi, blo, preferred_element_type=jnp.float32)
+        + jnp.dot(alo, bhi, preferred_element_type=jnp.float32)
+    )
+
+
 def _compositing_fwd_bwd(density, color, dists, pix, pos, g_scale,
                          num_samples, white_background):
     """In-kernel compositing + MSE forward AND backward for one slice.
 
-    All inputs row-major ``[rows, .]``; ``pix`` is the target pixel
-    broadcast to every row of its ray.  Returns ``(loss_sum, g_dens
-    [rows, 1], g_col [rows, C])`` where ``loss_sum`` sums
-    ``mean_c(err^2) / S`` over rows (summing over all rays' rows and
-    dividing by the ray count outside reproduces the batch-mean MSE).
+    All inputs row-major ``[rows, .]`` (whole rays per slice — the
+    tiling guarantees ``rows % num_samples == 0``); ``pix`` is the
+    target pixel broadcast to every row of its ray.  Returns
+    ``(loss_sum, g_dens [rows, 1], g_col [rows, C])`` where ``loss_sum``
+    sums ``mean_c(err^2)`` over rays (divide by the ray count outside
+    for the batch-mean MSE).
+
+    Round-4 layout: the scalar chain runs in ``[rays, S]`` LANE layout
+    like the hier kernels — the round-3 version ran it on ``[rows, 1]``
+    columns, which the VPU pads to 128 lanes, and needed ``_seg_total``
+    ladder broadcasts to make the per-ray error per-row.  Lane-dense,
+    the per-ray rgb is a Dekker dot, the error is per-ray ``[rays, C]``
+    directly (no broadcast ladders at all), and the two remaining
+    prefix/suffix sums ride the MXU (``_lane_exclusive_prefix``).  The
+    ``[rows, 1] -> [rays, S]`` relayout is a plain reshape (the
+    row->lane direction lowers whole); the two lane->row returns go
+    per-ray (``_lane2rows``).
 
     ``white_background`` adds the standard solid-white blend
     ``rgb + (1 - sum_i w_i)`` (``compositing.
     composite_rgb_with_background``) with its gradient.
     """
-    alpha = jnp.exp(-jnp.maximum(density, 0.0) * dists)
+    del pos  # lane layout needs no segment guards
+    rows, cols = color.shape
+    rays_sl = rows // num_samples
+    dens_l = density.reshape(rays_sl, num_samples)
+    dist_l = dists.reshape(rays_sl, num_samples)
+    alpha = jnp.exp(-jnp.maximum(dens_l, 0.0) * dist_l)
     a_eps = alpha + 1e-10
     log_a = jnp.log(a_eps)
-    log_t = _seg_exclusive_prefix(log_a, pos, num_samples)
+    log_t = _lane_exclusive_prefix(log_a)
     trans = jnp.exp(log_t)
-    weights = (1.0 - alpha) * trans  # [rows, 1]
+    weights_l = (1.0 - alpha) * trans  # [rays, S]
 
-    sig = jax.nn.sigmoid(color)  # [rows, C]
-    ws = weights * sig
-    rgb = _seg_total(ws, pos, num_samples)
-    if white_background:
-        acc = _seg_total(weights, pos, num_samples)  # [rows, 1]
-        rgb = rgb + (1.0 - acc)
-    err = rgb - pix  # [rows, C], constant within each ray
-    # Kept 2-D end-to-end ([1, 1] result): Mosaic rejects the relayouts a
-    # 1-D intermediate would need.
-    loss_sum = (
-        jnp.sum(
-            jnp.mean(err * err, axis=-1, keepdims=True), keepdims=True
+    sig = jax.nn.sigmoid(color)  # [rows, C] row layout
+
+    def rgb_ray(ri):  # [1, C] per-ray rgb: both-side Dekker dot
+        return _dot_exact2(
+            weights_l[ri : ri + 1, :],
+            sig[ri * num_samples : (ri + 1) * num_samples, :],
         )
-        / num_samples
+
+    rgb = jnp.concatenate(
+        [rgb_ray(ri) for ri in range(rays_sl)], axis=0
+    )  # [rays, C]
+    pix_ray = jnp.concatenate(
+        [pix[ri * num_samples : ri * num_samples + 1, :]
+         for ri in range(rays_sl)],
+        axis=0,
+    )
+    if white_background:
+        acc = jnp.sum(weights_l, axis=1, keepdims=True)  # [rays, 1]
+        rgb = rgb + (1.0 - acc)
+    err = rgb - pix_ray  # [rays, C]
+    loss_sum = jnp.sum(
+        jnp.mean(err * err, axis=-1, keepdims=True), keepdims=True
     )
 
     # ---- backward ----
-    g_rgb = err * g_scale  # dL/drgb, already per-row (err is broadcast)
-    g_col = ws * (1.0 - sig) * g_rgb
-    if white_background:
-        # rgb_c = sum_i w_i sig_ic + (1 - sum_i w_i)
-        # => dL/dw_i = sum_c (sig_ic - 1) g_rgb_c
-        g_w = jnp.sum((sig - 1.0) * g_rgb, axis=-1, keepdims=True)
-    else:
-        g_w = jnp.sum(sig * g_rgb, axis=-1, keepdims=True)  # [rows, 1]
+    g_rgb = err * g_scale  # dL/drgb per ray
+    g_rgb_row = rays2rows(g_rgb, rays_sl, num_samples)  # [rows, C]
+    w_row = _lane2rows(weights_l)  # [rows, 1]
+    g_col = w_row * sig * (1.0 - sig) * g_rgb_row
+    off = 1.0 if white_background else 0.0
+    g_w_row = jnp.sum(
+        (sig - off) * g_rgb_row, axis=-1, keepdims=True
+    )  # [rows, 1]
+    g_w = g_w_row.reshape(rays_sl, num_samples)  # row->lane relayout
 
     g_alpha = -trans * g_w
     g_logt = (1.0 - alpha) * trans * g_w
-    g_loga = _seg_exclusive_suffix(g_logt, pos, num_samples)
+    g_loga = _lane_exclusive_suffix(g_logt)
     g_alpha = g_alpha + g_loga / a_eps
     # alpha = exp(-relu(density) * dist); relu' is 0 at density <= 0.
-    g_dens = g_alpha * (-dists * alpha) * (density > 0.0).astype(
+    g_dens_l = g_alpha * (-dist_l * alpha) * (dens_l > 0.0).astype(
         jnp.float32
     )
-    return loss_sum, g_dens, g_col, weights
+    return loss_sum, _lane2rows(g_dens_l), g_col, w_row
 
 
 # Packed per-row scalar lanes: [dist, noise, pixel_r, pixel_g, pixel_b].
