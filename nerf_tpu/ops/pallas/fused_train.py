@@ -308,16 +308,19 @@ def _compositing_fwd_bwd(density, color, dists, pix, pos, g_scale,
     weights_l = (1.0 - alpha) * trans  # [rays, S]
 
     sig = jax.nn.sigmoid(color)  # [rows, C] row layout
-
-    def rgb_ray(ri):  # [1, C] per-ray rgb: both-side Dekker dot
-        return _dot_exact2(
-            weights_l[ri : ri + 1, :],
-            sig[ri * num_samples : (ri + 1) * num_samples, :],
-        )
-
-    rgb = jnp.concatenate(
-        [rgb_ray(ri) for ri in range(rays_sl)], axis=0
-    )  # [rays, C]
+    # Per-ray rgb as per-CHANNEL lane reductions (the hier kernel's
+    # coarse-side pattern): the [rows, 1] -> [rays, S] channel relayout
+    # is a plain reshape, and a lane reduce has no MXU lane padding —
+    # a per-ray [1, S] @ [S, C] dot pads its C=3 result to 128 lanes
+    # (the same size-1-result trap the module docstring prices).
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (rays_sl, cols), 1)
+    rgb = jnp.zeros((rays_sl, cols), jnp.float32)
+    sig_l = []
+    for c in range(cols):
+        s_cl = sig[:, c : c + 1].reshape(rays_sl, num_samples)
+        sig_l.append(s_cl)
+        rgb_c = jnp.sum(weights_l * s_cl, axis=1, keepdims=True)
+        rgb = rgb + jnp.where(cidx == c, rgb_c, 0.0)
     pix_ray = jnp.concatenate(
         [pix[ri * num_samples : ri * num_samples + 1, :]
          for ri in range(rays_sl)],
@@ -337,10 +340,9 @@ def _compositing_fwd_bwd(density, color, dists, pix, pos, g_scale,
     w_row = _lane2rows(weights_l)  # [rows, 1]
     g_col = w_row * sig * (1.0 - sig) * g_rgb_row
     off = 1.0 if white_background else 0.0
-    g_w_row = jnp.sum(
-        (sig - off) * g_rgb_row, axis=-1, keepdims=True
-    )  # [rows, 1]
-    g_w = g_w_row.reshape(rays_sl, num_samples)  # row->lane relayout
+    g_w = jnp.zeros((rays_sl, num_samples), jnp.float32)
+    for c in range(cols):  # lane FMAs, no row-sum/relayout round trip
+        g_w = g_w + (sig_l[c] - off) * g_rgb[:, c : c + 1]
 
     g_alpha = -trans * g_w
     g_logt = (1.0 - alpha) * trans * g_w
