@@ -273,86 +273,74 @@ def _compositing_fwd_bwd(density, color, dists, pix, pos, g_scale,
                          num_samples, white_background):
     """In-kernel compositing + MSE forward AND backward for one slice.
 
-    All inputs row-major ``[rows, .]`` (whole rays per slice — the
-    tiling guarantees ``rows % num_samples == 0``); ``pix`` is the
-    target pixel broadcast to every row of its ray.  Returns
-    ``(loss_sum, g_dens [rows, 1], g_col [rows, C])`` where ``loss_sum``
-    sums ``mean_c(err^2)`` over rays (divide by the ray count outside
-    for the batch-mean MSE).
+    All inputs row-major ``[rows, .]``; ``pix`` is the target pixel
+    broadcast to every row of its ray.  Returns ``(loss_sum, g_dens
+    [rows, 1], g_col [rows, C])`` where ``loss_sum`` sums
+    ``mean_c(err^2) / S`` over rows (summing over all rays' rows and
+    dividing by the ray count outside reproduces the batch-mean MSE).
 
-    Round-4 layout: the scalar chain runs in ``[rays, S]`` LANE layout
-    like the hier kernels — the round-3 version ran it on ``[rows, 1]``
-    columns, which the VPU pads to 128 lanes, and needed ``_seg_total``
-    ladder broadcasts to make the per-ray error per-row.  Lane-dense,
-    the per-ray rgb is a Dekker dot, the error is per-ray ``[rays, C]``
-    directly (no broadcast ladders at all), and the two remaining
-    prefix/suffix sums ride the MXU (``_lane_exclusive_prefix``).  The
-    ``[rows, 1] -> [rays, S]`` relayout is a plain reshape (the
-    row->lane direction lowers whole); the two lane->row returns go
-    per-ray (``_lane2rows``).
+    Layout note (round-5 measurement of record): this COLUMN layout —
+    the whole scalar chain on ``[rows, 1]``, per-ray sums as
+    ``_seg_total`` shift-ladder broadcasts — is the FASTEST of the
+    three formulations tried for the coarse kernel, despite the 128x
+    lane padding: 8.20 ms +/- 0.11 vs 8.49 (round-4 lane-dense with
+    per-ray Dekker-dot rgb, b92c07b) vs 9.03 (per-channel lane
+    reductions, 3b24b18), N=5 each in ONE chip session
+    (``scripts/coarse_variance.py``, BASELINE.md).  Unlike the hier fine
+    kernel — where the lane layout wins and its ladders priced ~1.2
+    ms/step — the coarse kernel's compositing is a small fraction of the
+    step, and the lane versions' per-ray ``_lane2rows``/``rays2rows``
+    sublane-concat relayouts cost more than the column ladders they
+    removed.  The lane machinery stays in this module for the hier/mip
+    kernels; do not "modernize" this epilogue onto it without a paired
+    same-session measurement beating 499k rays/s.
 
     ``white_background`` adds the standard solid-white blend
     ``rgb + (1 - sum_i w_i)`` (``compositing.
     composite_rgb_with_background``) with its gradient.
     """
-    del pos  # lane layout needs no segment guards
-    rows, cols = color.shape
-    rays_sl = rows // num_samples
-    dens_l = density.reshape(rays_sl, num_samples)
-    dist_l = dists.reshape(rays_sl, num_samples)
-    alpha = jnp.exp(-jnp.maximum(dens_l, 0.0) * dist_l)
+    alpha = jnp.exp(-jnp.maximum(density, 0.0) * dists)
     a_eps = alpha + 1e-10
     log_a = jnp.log(a_eps)
-    log_t = _lane_exclusive_prefix(log_a)
+    log_t = _seg_exclusive_prefix(log_a, pos, num_samples)
     trans = jnp.exp(log_t)
-    weights_l = (1.0 - alpha) * trans  # [rays, S]
+    weights = (1.0 - alpha) * trans  # [rows, 1]
 
-    sig = jax.nn.sigmoid(color)  # [rows, C] row layout
-    # Per-ray rgb as per-CHANNEL lane reductions (the hier kernel's
-    # coarse-side pattern): the [rows, 1] -> [rays, S] channel relayout
-    # is a plain reshape, and a lane reduce has no MXU lane padding —
-    # a per-ray [1, S] @ [S, C] dot pads its C=3 result to 128 lanes
-    # (the same size-1-result trap the module docstring prices).
-    cidx = jax.lax.broadcasted_iota(jnp.int32, (rays_sl, cols), 1)
-    rgb = jnp.zeros((rays_sl, cols), jnp.float32)
-    sig_l = []
-    for c in range(cols):
-        s_cl = sig[:, c : c + 1].reshape(rays_sl, num_samples)
-        sig_l.append(s_cl)
-        rgb_c = jnp.sum(weights_l * s_cl, axis=1, keepdims=True)
-        rgb = rgb + jnp.where(cidx == c, rgb_c, 0.0)
-    pix_ray = jnp.concatenate(
-        [pix[ri * num_samples : ri * num_samples + 1, :]
-         for ri in range(rays_sl)],
-        axis=0,
-    )
+    sig = jax.nn.sigmoid(color)  # [rows, C]
+    ws = weights * sig
+    rgb = _seg_total(ws, pos, num_samples)
     if white_background:
-        acc = jnp.sum(weights_l, axis=1, keepdims=True)  # [rays, 1]
+        acc = _seg_total(weights, pos, num_samples)  # [rows, 1]
         rgb = rgb + (1.0 - acc)
-    err = rgb - pix_ray  # [rays, C]
-    loss_sum = jnp.sum(
-        jnp.mean(err * err, axis=-1, keepdims=True), keepdims=True
+    err = rgb - pix  # [rows, C], constant within each ray
+    # Kept 2-D end-to-end ([1, 1] result): Mosaic rejects the relayouts a
+    # 1-D intermediate would need.
+    loss_sum = (
+        jnp.sum(
+            jnp.mean(err * err, axis=-1, keepdims=True), keepdims=True
+        )
+        / num_samples
     )
 
     # ---- backward ----
-    g_rgb = err * g_scale  # dL/drgb per ray
-    g_rgb_row = rays2rows(g_rgb, rays_sl, num_samples)  # [rows, C]
-    w_row = _lane2rows(weights_l)  # [rows, 1]
-    g_col = w_row * sig * (1.0 - sig) * g_rgb_row
-    off = 1.0 if white_background else 0.0
-    g_w = jnp.zeros((rays_sl, num_samples), jnp.float32)
-    for c in range(cols):  # lane FMAs, no row-sum/relayout round trip
-        g_w = g_w + (sig_l[c] - off) * g_rgb[:, c : c + 1]
+    g_rgb = err * g_scale  # dL/drgb, already per-row (err is broadcast)
+    g_col = ws * (1.0 - sig) * g_rgb
+    if white_background:
+        # rgb_c = sum_i w_i sig_ic + (1 - sum_i w_i)
+        # => dL/dw_i = sum_c (sig_ic - 1) g_rgb_c
+        g_w = jnp.sum((sig - 1.0) * g_rgb, axis=-1, keepdims=True)
+    else:
+        g_w = jnp.sum(sig * g_rgb, axis=-1, keepdims=True)  # [rows, 1]
 
     g_alpha = -trans * g_w
     g_logt = (1.0 - alpha) * trans * g_w
-    g_loga = _lane_exclusive_suffix(g_logt)
+    g_loga = _seg_exclusive_suffix(g_logt, pos, num_samples)
     g_alpha = g_alpha + g_loga / a_eps
     # alpha = exp(-relu(density) * dist); relu' is 0 at density <= 0.
-    g_dens_l = g_alpha * (-dist_l * alpha) * (dens_l > 0.0).astype(
+    g_dens = g_alpha * (-dists * alpha) * (density > 0.0).astype(
         jnp.float32
     )
-    return loss_sum, _lane2rows(g_dens_l), g_col, w_row
+    return loss_sum, g_dens, g_col, weights
 
 
 # Packed per-row scalar lanes: [dist, noise, pixel_r, pixel_g, pixel_b].

@@ -28,12 +28,27 @@ def main() -> None:
     ap.add_argument("--k2", type=int, default=40)
     args = ap.parse_args()
 
+    import time
+
     import jax
     import optax
 
     from nerf_tpu import ClassicNeRF, ClassicNeRFConfig, RenderConfig
     from nerf_tpu.train import create_train_state, make_fused_multi_step_train_fn
-    from bench import _random_bank, _time_chain
+    from bench import _random_bank
+
+    def time_chain(run, state, repeats=3):
+        # Like bench._time_chain but RETURNS the rebound state: the train
+        # fn donates its input, so the caller must carry the fresh state
+        # across repeated timings (reusing the old one hits a deleted
+        # buffer on the second outer iteration).
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            state, aux = run(state)
+            float(jax.device_get(aux["loss"])[-1])
+            best = min(best, time.perf_counter() - t0)
+        return best, state
 
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     model = ClassicNeRF(
@@ -60,8 +75,8 @@ def main() -> None:
 
     samples = []
     for i in range(args.n):
-        t1 = _time_chain(runs[args.k1], states[args.k1])
-        t2 = _time_chain(runs[args.k2], states[args.k2])
+        t1, states[args.k1] = time_chain(runs[args.k1], states[args.k1])
+        t2, states[args.k2] = time_chain(runs[args.k2], states[args.k2])
         ms = (t2 - t1) / (args.k2 - args.k1) * 1e3
         samples.append(ms)
         print(f"run {i}: {ms:.3f} ms/step "
