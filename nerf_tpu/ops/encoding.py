@@ -184,14 +184,27 @@ def bbox_frequency_scales(
     bounding box; frequencies are octaves above it.  ``size`` counts
     sin+cos features per scalar, so there are ``size // 2`` frequencies.
     """
+    return jnp.asarray(frequency_scales_np(size, bbox_max_abs), dtype)
+
+
+def frequency_scales_np(size: int, bbox_max_abs: float):
+    """``bbox_frequency_scales`` as a pure-NUMPY f64->f32 constant.
+
+    The values must be a fixed constant baked identically into every
+    graph: jnp.power under eager dispatch, under jit constant folding,
+    and under ensure_compile_time_eval each round the last ulp
+    differently, and the fused kernels that build frequency placements
+    from these values (``ops/pallas/fused_mega``) must match the XLA
+    encode path bitwise."""
+    import numpy as np
+
     starting_frequency = -math.log2(bbox_max_abs)
-    exponents = jnp.linspace(
+    exponents = np.linspace(
         starting_frequency,
         starting_frequency + size / 2.0 - 1.0,
         size // 2,
-        dtype=dtype,
     )
-    return jnp.power(2.0, exponents) * (jnp.pi / 2.0)
+    return (np.power(2.0, exponents) * (np.pi / 2.0)).astype(np.float32)
 
 
 def frequency_encoding(x: Array, frequency_scales: Array) -> Array:

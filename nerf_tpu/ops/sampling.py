@@ -98,6 +98,26 @@ def sample_linear(
     return samples
 
 
+def pdf_uniforms(
+    key: Optional[jax.Array],
+    batch_shape: Sequence[int],
+    num_samples: int,
+    randomly_sample: bool = True,
+    dtype=jnp.float32,
+) -> Array:
+    """The stratified uniforms ``sample_pdf`` inverts — factored out so
+    fused kernels that resample IN-KERNEL (``ops/pallas/fused_mega``) can
+    pre-draw bitwise-identical values with the same key."""
+    grid = jnp.arange(num_samples, dtype=dtype)
+    shape = tuple(batch_shape) + (num_samples,)
+    if randomly_sample:
+        if key is None:
+            raise ValueError("randomly_sample=True requires a PRNG key")
+        jitter = jax.random.uniform(key, shape, dtype=dtype)
+        return (grid + jitter) / num_samples
+    return jnp.broadcast_to((grid + 0.5) / num_samples, shape)
+
+
 def sample_pdf(
     key: Optional[jax.Array],
     bins: Array,
@@ -146,18 +166,10 @@ def sample_pdf(
     # Clamp the top to exactly 1 so u=1-eps never falls off the table.
     cdf = jnp.concatenate([cdf[..., :-1], jnp.ones_like(cdf[..., :1])], axis=-1)
 
-    grid = jnp.arange(num_samples, dtype=bins.dtype)
-    if randomly_sample:
-        if key is None:
-            raise ValueError("randomly_sample=True requires a PRNG key")
-        jitter = jax.random.uniform(
-            key, bins.shape[:-1] + (num_samples,), dtype=bins.dtype
-        )
-        u = (grid + jitter) / num_samples
-    else:
-        u = jnp.broadcast_to(
-            (grid + 0.5) / num_samples, bins.shape[:-1] + (num_samples,)
-        )
+    u = pdf_uniforms(
+        key, bins.shape[:-1], num_samples,
+        randomly_sample=randomly_sample, dtype=bins.dtype,
+    )
 
     # Dense branchless bin selection: sel[..., s, b] is 1 for the unique bin
     # with cdf[b] <= u[s] < cdf[b+1] (cdf is monotone after the cummax
