@@ -70,6 +70,17 @@ class ClassicNeRF:
 
     def __init__(self, cfg: ClassicNeRFConfig):
         self.cfg = cfg
+        # Prefill the eager frequency-scale constants (model construction
+        # is always outside jit) so every later consumer — the traced
+        # encode paths AND the fused kernels' in-kernel placements — bakes
+        # the SAME values (see encoding._SCALES_CACHE).
+        encoding.frequency_scales_np(
+            cfg.x_positional_encoding_size, cfg.normalize_position
+        )
+        if cfg.use_viewdirs:
+            encoding.frequency_scales_np(
+                cfg.d_positional_encoding_size, cfg.direction_bound
+            )
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
         return mlp_lib.init_classic_mlp(key, self.cfg, dtype)
@@ -325,13 +336,24 @@ class ClassicNeRF:
                 from nerf_tpu.ops.pallas import fused_hier
 
                 t_cat = jnp.concatenate([t_coarse, t_fine], axis=-1)
-                _, xf_enc, df_enc = self._encode_inputs(
-                    rays_o, rays_d, t_fine, states_x, states_d
+                points_f = (
+                    rays_o[..., None, :]
+                    + rays_d[..., None, :] * t_fine[..., :, None]
+                )
+                xf_enc = self.encode_position(
+                    points_f,
+                    None if states_x is None else states_x[..., None, :],
+                )
+                # Per-ray dir encodings: the kernel broadcasts to sample
+                # rows itself (directions are constant along a ray).
+                df_ray = (
+                    self.encode_direction(rays_d, states_d)
+                    if self.cfg.use_viewdirs else None
                 )
                 rgb_f, depth_f, acc_f = fused_hier.fine_union_eval_pallas(
                     params,
                     xf_enc,
-                    df_enc,
+                    df_ray,
                     t_coarse,
                     t_fine,
                     density_c,

@@ -184,27 +184,49 @@ def bbox_frequency_scales(
     bounding box; frequencies are octaves above it.  ``size`` counts
     sin+cos features per scalar, so there are ``size // 2`` frequencies.
     """
-    return jnp.asarray(frequency_scales_np(size, bbox_max_abs), dtype)
+    if dtype != jnp.float32:
+        return _compute_scales(size, bbox_max_abs, dtype)
+    return jnp.asarray(frequency_scales_np(size, bbox_max_abs))
 
 
-def frequency_scales_np(size: int, bbox_max_abs: float):
-    """``bbox_frequency_scales`` as a pure-NUMPY f64->f32 constant.
-
-    The values must be a fixed constant baked identically into every
-    graph: jnp.power under eager dispatch, under jit constant folding,
-    and under ensure_compile_time_eval each round the last ulp
-    differently, and the fused kernels that build frequency placements
-    from these values (``ops/pallas/fused_mega``) must match the XLA
-    encode path bitwise."""
-    import numpy as np
-
+def _compute_scales(size: int, bbox_max_abs: float, dtype) -> Array:
     starting_frequency = -math.log2(bbox_max_abs)
-    exponents = np.linspace(
+    exponents = jnp.linspace(
         starting_frequency,
         starting_frequency + size / 2.0 - 1.0,
         size // 2,
+        dtype=dtype,
     )
-    return (np.power(2.0, exponents) * (np.pi / 2.0)).astype(np.float32)
+    return jnp.power(2.0, exponents) * (jnp.pi / 2.0)
+
+
+# One CONSTANT per (size, bound), computed EAGERLY once and baked into
+# every consumer: under jit, jnp.power constant-folds with different
+# last-ulp rounding than eager dispatch, and the fused kernels that
+# build frequency placements from these values (ops/pallas/fused_mega)
+# must match the XLA encode path bitwise — a per-context computation
+# cannot.  The cache is filled outside any trace (model construction
+# prefills it; direct eager calls fill it too) and never from a traced
+# value.  NOTE: the entries carry the computing backend's pow rounding
+# (CPU under the test config, TPU on chip) — consistent within a
+# process, which is the requirement.
+_SCALES_CACHE: dict = {}
+
+
+def frequency_scales_np(size: int, bbox_max_abs: float):
+    """The cached eager f32 scale constant as a NUMPY array."""
+    import numpy as np
+
+    key = (int(size), float(bbox_max_abs))
+    if key not in _SCALES_CACHE:
+        value = _compute_scales(size, bbox_max_abs, jnp.float32)
+        if isinstance(value, jax.core.Tracer):
+            raise RuntimeError(
+                "frequency scale constants must first be computed outside "
+                "a trace (model construction prefills them)"
+            )
+        _SCALES_CACHE[key] = np.asarray(value)
+    return _SCALES_CACHE[key]
 
 
 def frequency_encoding(x: Array, frequency_scales: Array) -> Array:

@@ -407,7 +407,13 @@ def _hier_eval_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, splits,
     layout: fine MLP (row layout) -> lane-relayout densities -> lane
     dists/alphas/prefix ladders -> per-ray cross-block Dekker dots ->
     per-ray [rgb, depth, acc] outputs.  Only the per-ray t-masks and the
-    rgb weight-x-sigmoid reductions touch row-layout operands."""
+    rgb weight-x-sigmoid reductions touch row-layout operands.
+
+    View-direction encodings arrive PER RAY (``[rays, DE]``) and are
+    broadcast to sample rows IN-KERNEL (``rays2rows`` sublane concat):
+    directions are constant along a ray, and the old ``[rays*Sf, DE]``
+    row input cost ~1.5 GB/frame of XLA broadcast + HBM traffic at
+    400x400x(64+128)."""
     xf_ref = refs[0]
     df_ref = refs[1] if has_view else None
     k = 2 if has_view else 1
@@ -433,7 +439,10 @@ def _hier_eval_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, splits,
         csl = slice(s * rows_c, (s + 1) * rows_c)
         rsl = slice(s * rays_sl, (s + 1) * rays_sl)
         x = xf_ref[fsl, :]
-        d = df_ref[fsl, :] if has_view else None
+        d = (
+            rays2rows(df_ref[rsl, :], rays_sl, s_fine)
+            if has_view else None
+        )
         t_f_l = tfblk_ref[rsl, :]  # [rays_sl, Sf]
         t_c_l = tcblk_ref[rsl, :]  # [rays_sl, Sc]
         dens_c_l = densc_ref[rsl, :]
@@ -557,6 +566,8 @@ def fine_union_eval_pallas(
     dnorm: Array,
     compute_dtype=jnp.float32,
     interpret: bool | None = None,
+    splits: int | None = None,
+    tile_rows: int | None = None,
 ) -> Tuple[Array, Array, Array]:
     """Forward-only fused fine stage for the hierarchical reuse renderer.
 
@@ -566,6 +577,16 @@ def fine_union_eval_pallas(
     transmittances are all computed in-kernel — no [B, Sf, Sc] XLA masks,
     no precompute round trip.  Fine MLP + order-free union compositing in
     ONE kernel.
+
+    ``d_enc`` is the PER-RAY view-direction encoding ``[B, DE]`` (or
+    ``None``): directions are constant along a ray, so the kernel
+    broadcasts them to sample rows itself instead of reading a
+    ``[B*Sf, DE]`` pre-broadcast slab from HBM (~1.5 GB/frame at
+    400x400x(64+128)).
+
+    ``splits``/``tile_rows`` override the tile geometry (the sweep hooks
+    for ``scripts/eval_tile_sweep.py``); defaults are the measured
+    optimum (one slice per double-size tile).
 
     Returns ``(rgb [B, C], depth [B], acc [B])`` over the union.
     """
@@ -582,8 +603,12 @@ def fine_union_eval_pallas(
     # Forward-only: no chain retention, so one slice per DOUBLE-size tile
     # (halves the per-tile grid overhead; the lane arrays fill whole
     # vregs).
-    r, _ = _pick_tiling(n_rays, s_fine, interpret, tile_rows=2 * TILE_F)
-    splits = 1
+    r, _ = _pick_tiling(
+        n_rays, s_fine, interpret,
+        tile_rows=2 * TILE_F if tile_rows is None else tile_rows,
+    )
+    if splits is None:
+        splits = 1
     grid = n_rays // r
     tile_f, tile_c = r * s_fine, r * s_coarse
 
@@ -591,8 +616,8 @@ def fine_union_eval_pallas(
     d_ops, d_specs = (), ()
     if has_view:
         de = d_enc.shape[-1]
-        d_ops = (d_enc.reshape(total_f, de).astype(compute_dtype),)
-        d_specs = (_tile_spec(tile_f, de),)
+        d_ops = (d_enc.reshape(n_rays, de).astype(compute_dtype),)
+        d_specs = (pl.BlockSpec((r, de), lambda i: (i, 0)),)
     # Every scalar operand enters LANE-DENSE ([rays, S] per field): a
     # narrow [total, k] slab is tiled T(8, 128) on device, physically
     # padding HBM (and every copy producing it) by 128/k x — the round-3

@@ -104,18 +104,25 @@ from nerf_tpu.ops.pallas.fused_train import (
 
 Array = jax.Array
 
-# Rays per tile / slices: the fine rows dominate (R * Sf); 8 rays x 128
-# fine samples = 1024 fine rows per tile with two independent 512-row
-# slices matches the swept optimum of the kernel family.  Both chains of
-# one slice are VMEM-resident simultaneously (coarse 256 rows + fine 512
-# rows at the north-star shape ~ 8 MB with the weight/grad slabs) —
-# comfortably inside the 100 MB cap.
-TILE_F = 1024
+# Rays per tile / slices: the fine rows dominate (R * Sf).  Swept on
+# chip at the north-star 2048x(64+128) shape: 8/16/32 rays per tile ran
+# 17.9/15.7/14.9 ms/step — the mega kernel wants the BIGGEST tile that
+# fits VMEM (both stages' chains are resident), which is 32 rays
+# (4096 fine rows, ~126M of the 128M physical) with two slices.
+TILE_F = 4096
 _SPLITS = 2
 
 _INF = 1e38
 _FIN = 1e37
 _PDF_EPS = 1e-5  # sampling.sample_pdf's eps
+
+# The mega kernel's resident state (both stages' activation chains, two
+# slices in flight under the skewed schedule) exceeds the family's
+# 100 MB cap at the preferred 32-ray tiles (measured 125.9 MB); v5e
+# physical VMEM is 128 MB, so this kernel runs right at the edge.
+_MEGA_VMEM_LIMIT = pltpu.CompilerParams(
+    vmem_limit_bytes=127 * 1024 * 1024
+)
 
 
 def _lane_inclusive_ladder(v: Array, n: int, combine) -> Array:
@@ -304,68 +311,76 @@ def _mega_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
     pos_c = jax.lax.broadcasted_iota(jnp.int32, (rows_c, 1), 0) % s_coarse
     lane_f = jax.lax.broadcasted_iota(jnp.int32, (rays_sl, s_fine), 1)
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (rays_sl, s_coarse), 1)
-
-    acc = None
-    lossc_sum = jnp.zeros((1, 1), jnp.float32)
-    lossf_sum = jnp.zeros((1, 1), jnp.float32)
     off = 1.0 if white_background else 0.0
-    for s in range(splits):
-        csl = slice(s * rows_c, (s + 1) * rows_c)
-        rsl = slice(s * rays_sl, (s + 1) * rays_sl)
-        xc = xc_ref[csl, :]
-        auxc = auxc_ref[csl, :]  # [rows_c, 2+C]: dist, noise, pix rows
-        t_c_l = tc_ref[rsl, :]  # [rays_sl, Sc]
-        u = u_ref[rsl, :]  # [rays_sl, Sf]
-        noise_f = noisef_ref[rsl, :]
+
+    # ---- per-slice phase functions, traced in a SKEWED order ------------
+    # The straight slice-major body serializes each slice's long
+    # MXU-phase -> VPU-phase -> MXU-phase chain; Mosaic's scheduler only
+    # overlaps work that is close in program order, and the "coarsebwd"
+    # ablation measured the coarse backward at its FULL serial cost (no
+    # overlap).  Tracing the slices software-pipelined — slice s+1 one
+    # phase behind slice s — puts every VPU-heavy phase (compositing/
+    # resample/encoding, union scalars) adjacent to the other slice's
+    # matmul phase so the units can actually mix.
+    def p1_coarse_fwd(e):
+        sl = e["s"]
+        csl = slice(sl * rows_c, (sl + 1) * rows_c)
+        rsl = slice(sl * rays_sl, (sl + 1) * rays_sl)
+        e["xc"] = xc_ref[csl, :]
+        e["auxc"] = auxc_ref[csl, :]  # [rows_c, 2+C]: dist, noise, pix
+        e["t_c_l"] = tc_ref[rsl, :]  # [rays_sl, Sc]
+        e["u"] = u_ref[rsl, :]  # [rays_sl, Sf]
+        e["noise_f"] = noisef_ref[rsl, :]
         auxr = auxr_ref[rsl, :]  # [rays_sl, 7+C]: o, d, dnorm, pix
-        o3 = auxr[:, 0:3]
-        d3 = auxr[:, 3:6]
-        dnorm = auxr[:, 6:7]
-        pix = auxr[:, 7 : 7 + cols]  # [rays_sl, C]
-        d_ray = None
-        dc = None
-        if has_view:
-            d_ray = dray_ref[rsl, :]  # [rays_sl, DE]
-            dc = rays2rows(d_ray, rays_sl, s_coarse)
-
-        # ---- 1. coarse forward, chain resident -------------------------
-        chain_c, dens_c_raw, col_c = _forward_chain(
-            xc, dc, w, dt, keep=True
+        e["o3"] = auxr[:, 0:3]
+        e["d3"] = auxr[:, 3:6]
+        e["dnorm"] = auxr[:, 6:7]
+        e["pix"] = auxr[:, 7 : 7 + cols]
+        e["rsl"] = rsl
+        e["d_ray"] = dray_ref[rsl, :] if has_view else None
+        e["dc"] = (
+            rays2rows(e["d_ray"], rays_sl, s_coarse) if has_view else None
         )
-        dens_c_row = dens_c_raw + auxc[:, 1:2]  # + noise (row layout)
+        e["chain_c"], dens_c_raw, e["col_c"] = _forward_chain(
+            e["xc"], e["dc"], w, dt, keep=True
+        )
+        e["dens_c_row"] = dens_c_raw + e["auxc"][:, 1:2]  # + noise
 
-        # ---- 2. coarse compositing + stage loss fwd/bwd (column) -------
-        (sl_loss_c, g_dens_c_row, g_col_c_row,
+    def p2_comp_resample_encode(e):
+        # Coarse compositing + stage loss fwd/bwd (column layout).
+        (e["loss_c"], e["g_dens_c_row"], e["g_col_c_row"],
          weights_row) = _compositing_fwd_bwd(
-            dens_c_row, col_c, auxc[:, 0:1],
-            auxc[:, _AUX_WIDTH_BASE:], pos_c, g_scale, s_coarse,
+            e["dens_c_row"], e["col_c"], e["auxc"][:, 0:1],
+            e["auxc"][:, _AUX_WIDTH_BASE:], pos_c, g_scale, s_coarse,
             white_background,
         )
-        lossc_sum = lossc_sum + sl_loss_c
-
-        # ---- 3. inverse-CDF resample (stop-gradient weights) ------------
+        # Inverse-CDF resample (stop-gradient weights).
         w_l = weights_row.reshape(rays_sl, s_coarse)
         if "resample" in ablate:  # profiling: skip the CDF inversion
-            t_f_l = 2.0 + 4.0 * u
+            t_f_l = 2.0 + 4.0 * e["u"]
         else:
             t_f_l = _resample_lane(
-                w_l, t_c_l, u, s_coarse, s_fine, rays_sl
+                w_l, e["t_c_l"], e["u"], s_coarse, s_fine, rays_sl
             )
+        e["t_f_l"] = t_f_l
         if emit_t_fine:
-            tfine_ref[rsl, :] = t_f_l
-
-        # ---- 4. fine encodings in-kernel --------------------------------
-        xf_enc = _encode_fine(
-            t_f_l, o3, d3, enc, is_cos, rays_sl, s_fine,
+            tfine_ref[e["rsl"], :] = t_f_l
+        # Fine encodings in-kernel.
+        e["xf_enc"] = _encode_fine(
+            t_f_l, e["o3"], e["d3"], enc, is_cos, rays_sl, s_fine,
             skip_trig="enc" in ablate, exact_trig=exact_trig,
         )
-        df = rays2rows(d_ray, rays_sl, s_fine) if has_view else None
+        e["df"] = (
+            rays2rows(e["d_ray"], rays_sl, s_fine) if has_view else None
+        )
+        # Pre-MLP union quantities: interval lengths, coarse alphas and
+        # prefixes, the coarse-side cross transmittances (none of these
+        # touch the fine MLP outputs).
+        t_c_l = e["t_c_l"]
+        dens_c_l = e["dens_c_row"].reshape(rays_sl, s_coarse)
+        e["dens_c_l"] = dens_c_l
 
-        # ---- 5. fine fwd + union compositing + fine loss + bwd ---------
-        # (the fused_hier kernel body, cotangents kept in-register)
-        dens_c_l = dens_c_row.reshape(rays_sl, s_coarse)
-
-        def tparts(ri):
+        def tp(ri):
             tfr = t_f_l[ri : ri + 1, :]
             tcr = t_c_l[ri : ri + 1, :]
             tfc = tfr.reshape(s_fine, 1)
@@ -374,19 +389,23 @@ def _mega_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
             q = tfc >= jnp.broadcast_to(tcr, (s_fine, s_coarse))
             return tfr, tcr, tfc, tcc, p, q
 
+        e["tparts"] = tp
+
         def rays(fn):
             return jnp.concatenate(
                 [fn(ri) for ri in range(rays_sl)], axis=0
             )
 
+        e["rays"] = rays
+
         def cmin_f(ri):
-            tfr, tcr, tfc, tcc, p, q = tparts(ri)
+            tfr, tcr, tfc, tcc, p, q = tp(ri)
             return jnp.min(jnp.where(
                 p, jnp.broadcast_to(tcc, (s_coarse, s_fine)), _INF
             ), axis=0, keepdims=True)
 
         def cmin_c(ri):
-            tfr, tcr, tfc, tcc, p, q = tparts(ri)
+            tfr, tcr, tfc, tcc, p, q = tp(ri)
             return jnp.min(jnp.where(
                 q, jnp.broadcast_to(tfc, (s_fine, s_coarse)), _INF
             ), axis=0, keepdims=True)
@@ -395,45 +414,61 @@ def _mega_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
             lane_f <= s_fine - 2, _lane_shift_up(t_f_l, 1), _INF
         )
         succ_f = jnp.minimum(nxt_f, rays(cmin_f))
-        dist_f = jnp.where(succ_f < _FIN, (succ_f - t_f_l) * dnorm, 1e10)
+        e["dist_f"] = jnp.where(
+            succ_f < _FIN, (succ_f - t_f_l) * e["dnorm"], 1e10
+        )
         nxt_c = jnp.where(
             lane_c <= s_coarse - 2, _lane_shift_up(t_c_l, 1), _INF
         )
         succ_c = jnp.minimum(nxt_c, rays(cmin_c))
-        dist_c = jnp.where(succ_c < _FIN, (succ_c - t_c_l) * dnorm, 1e10)
-
-        alpha_c = jnp.exp(-jnp.maximum(dens_c_l, 0.0) * dist_c)
-        ac_eps = alpha_c + 1e-10
-        log_ac = jnp.log(ac_eps)
-        pref_c = _lane_exclusive_prefix(log_ac)
-
-        chain_f, dens_f_raw, col_f = _forward_chain(
-            xf_enc, df, w, dt, keep=True
+        dist_c = jnp.where(
+            succ_c < _FIN, (succ_c - t_c_l) * e["dnorm"], 1e10
         )
-        dens_f_l = dens_f_raw.reshape(rays_sl, s_fine) + noise_f
+        e["dist_c"] = dist_c
+        alpha_c = jnp.exp(-jnp.maximum(dens_c_l, 0.0) * dist_c)
+        e["alpha_c"] = alpha_c
+        e["ac_eps"] = alpha_c + 1e-10
+        log_ac = jnp.log(e["ac_eps"])
+        e["pref_c"] = _lane_exclusive_prefix(log_ac)
+
+        def cross_c(ri):
+            tfr, tcr, tfc, tcc, p, q = tp(ri)
+            return _dot_exact_row(
+                log_ac[ri : ri + 1, :], 1.0 - p.astype(jnp.float32)
+            )
+
+        e["cross_cl"] = rays(cross_c)
+
+    def p3_fine_fwd(e):
+        e["chain_f"], dens_f_raw, e["col_f"] = _forward_chain(
+            e["xf_enc"], e["df"], w, dt, keep=True
+        )
+        e["dens_f_l"] = (
+            dens_f_raw.reshape(rays_sl, s_fine) + e["noise_f"]
+        )
+
+    def p4_union(e):
+        tp, rays = e["tparts"], e["rays"]
+        dist_f, dist_c = e["dist_f"], e["dist_c"]
+        alpha_c, ac_eps = e["alpha_c"], e["ac_eps"]
+        dens_f_l, dens_c_l = e["dens_f_l"], e["dens_c_l"]
         alpha_f = jnp.exp(-jnp.maximum(dens_f_l, 0.0) * dist_f)
         af_eps = alpha_f + 1e-10
         log_af = jnp.log(af_eps)
         pref_f = _lane_exclusive_prefix(log_af)
 
-        def cross_c(ri):
-            tfr, tcr, tfc, tcc, p, q = tparts(ri)
-            return _dot_exact_row(
-                log_ac[ri : ri + 1, :], 1.0 - p.astype(jnp.float32)
-            )
-
         def cross_f(ri):
-            tfr, tcr, tfc, tcc, p, q = tparts(ri)
+            tfr, tcr, tfc, tcc, p, q = tp(ri)
             return _dot_exact_row(
                 log_af[ri : ri + 1, :], 1.0 - q.astype(jnp.float32)
             )
 
-        t_fine_full = jnp.exp(rays(cross_c) + pref_f)
+        t_fine_full = jnp.exp(e["cross_cl"] + pref_f)
         w_f = (1.0 - alpha_f) * t_fine_full
-        t_coarse_full = jnp.exp(pref_c + rays(cross_f))
+        t_coarse_full = jnp.exp(e["pref_c"] + rays(cross_f))
         w_c = (1.0 - alpha_c) * t_coarse_full
 
-        sig_f = jax.nn.sigmoid(col_f)  # [rows_f, C]
+        sig_f = jax.nn.sigmoid(e["col_f"])  # [rows_f, C]
 
         def rgb_f_ray(ri):
             return _dot_exact2(
@@ -446,7 +481,7 @@ def _mega_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         sig_cl = []
         for c in range(cols):
             sc_ch = jax.nn.sigmoid(
-                col_c[:, c : c + 1].reshape(rays_sl, s_coarse)
+                e["col_c"][:, c : c + 1].reshape(rays_sl, s_coarse)
             )
             sig_cl.append(sc_ch)
             rgb_cc = jnp.sum(w_c * sc_ch, axis=1, keepdims=True)
@@ -456,16 +491,16 @@ def _mega_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
                 w_c, axis=1, keepdims=True
             )
             rgb = rgb + (1.0 - acc_w)
-        err = rgb - pix
-        lossf_sum = lossf_sum + jnp.sum(
+        err = rgb - e["pix"]
+        e["loss_f"] = jnp.sum(
             jnp.mean(err * err, axis=-1, keepdims=True), keepdims=True
         )
 
-        # ---- fine-stage backward ----------------------------------------
+        # Fine-stage backward scalars.
         g_rgb = err * g_scale
         g_rgb_row_f = rays2rows(g_rgb, rays_sl, s_fine)
         w_f_row = _lane2rows(w_f)
-        g_col_f = w_f_row * sig_f * (1.0 - sig_f) * g_rgb_row_f
+        e["g_col_f"] = w_f_row * sig_f * (1.0 - sig_f) * g_rgb_row_f
         g_wf = jnp.sum(
             (sig_f - off) * g_rgb_row_f, axis=-1, keepdims=True
         ).reshape(rays_sl, s_fine)
@@ -477,13 +512,13 @@ def _mega_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         g_logt_f = (1.0 - alpha_f) * t_fine_full * g_wf
 
         def g_laf_ray(ri):
-            tfr, tcr, tfc, tcc, p, q = tparts(ri)
+            tfr, tcr, tfc, tcc, p, q = tp(ri)
             return _dot_exact_row(
                 g_logt_c[ri : ri + 1, :], p.astype(jnp.float32)
             )
 
         def g_lac_ray(ri):
-            tfr, tcr, tfc, tcc, p, q = tparts(ri)
+            tfr, tcr, tfc, tcc, p, q = tp(ri)
             return _dot_exact_row(
                 g_logt_f[ri : ri + 1, :], q.astype(jnp.float32)
             )
@@ -493,51 +528,86 @@ def _mega_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
         g_dens_f_l = g_alpha_f * (-dist_f * alpha_f) * (
             dens_f_l > 0.0
         ).astype(jnp.float32)
-        g_dens_f = _lane2rows(g_dens_f_l)
+        e["g_dens_f"] = _lane2rows(g_dens_f_l)
 
-        # Coarse-side union cotangents, converted to ROW layout and summed
-        # with the coarse-loss cotangents from stage 2.
+        # Coarse-side union cotangents, ROW layout, summed with the
+        # coarse-loss cotangents from phase 2.
         g_logac = _lane_exclusive_suffix(g_logt_c) + rays(g_lac_ray)
         g_alpha_c = g_alpha_c + g_logac / ac_eps
         g_dens_c_l = g_alpha_c * (-dist_c * alpha_c) * (
             dens_c_l > 0.0
         ).astype(jnp.float32)
-        g_dens_c_total = g_dens_c_row + _lane2rows(g_dens_c_l)
-        sig_c_row = jax.nn.sigmoid(col_c)  # [rows_c, C]
-        g_col_c_union = (
+        e["g_dens_c_total"] = e["g_dens_c_row"] + _lane2rows(g_dens_c_l)
+        sig_c_row = jax.nn.sigmoid(e["col_c"])  # [rows_c, C]
+        e["g_col_c_total"] = e["g_col_c_row"] + (
             _lane2rows(w_c)
             * sig_c_row
             * (1.0 - sig_c_row)
             * rays2rows(g_rgb, rays_sl, s_coarse)
         )
-        g_col_c_total = g_col_c_row + g_col_c_union
 
-        # ---- 6. both MLP backwards from their RESIDENT chains ----------
-        # Two sweeps, measured better than the alternatives: CONCATENATING
-        # the stages' rows into one backward (larger matmuls, one LN-bwd
-        # pass) was tried and measured MUCH slower (20.1 vs 15.7 ms/step
-        # at R=16 — the per-layer chain concats are real sublane copies
-        # of the whole resident chain, and the doubled liveness OOMs
-        # VMEM at R=32).
-        _, _, grads_f = _bwd_slice(
-            xf_enc, df, g_dens_f, g_col_f, w, dt, chain=chain_f,
-            input_grads=False,
+    def p5_fine_bwd(e):
+        # Two separate sweeps (here and p6), measured better than the
+        # alternatives: CONCATENATING the stages' rows into one backward
+        # (larger matmuls, one LN-bwd pass) measured MUCH slower (20.1
+        # vs 15.7 ms/step at R=16 — the per-layer chain concats are real
+        # sublane copies of the whole resident chain, and the doubled
+        # liveness OOMs VMEM at R=32).
+        _, _, e["grads_f"] = _bwd_slice(
+            e["xf_enc"], e["df"], e["g_dens_f"], e["g_col_f"], w, dt,
+            chain=e["chain_f"], input_grads=False,
         )
-        if "coarsebwd" in ablate:  # profiling: fine-stage grads only
-            both = grads_f
-        else:
-            _, _, grads_c = _bwd_slice(
-                xc, dc, g_dens_c_total, g_col_c_total, w, dt,
-                chain=chain_c, input_grads=False,
-            )
-            both = jax.tree.map(jnp.add, grads_f, grads_c)
-        if acc is None:
-            acc = both
-        else:
-            acc = jax.tree.map(jnp.add, acc, both)
 
-    lossc_ref[...] += lossc_sum
-    lossf_ref[...] += lossf_sum
+    def p6_coarse_bwd(e):
+        if "coarsebwd" in ablate:  # profiling: fine-stage grads only
+            e["grads_c"] = None
+            return
+        _, _, e["grads_c"] = _bwd_slice(
+            e["xc"], e["dc"], e["g_dens_c_total"], e["g_col_c_total"],
+            w, dt, chain=e["chain_c"], input_grads=False,
+        )
+
+    acc = [None]
+    lossc_sum = [jnp.zeros((1, 1), jnp.float32)]
+    lossf_sum = [jnp.zeros((1, 1), jnp.float32)]
+
+    def p7_accumulate(e):
+        # Fold each slice's results as soon as its last phase retires and
+        # DROP the env references: deferring all accumulation to the end
+        # kept every slice's gradients and leftovers live to the kernel
+        # tail and pushed the R=32 tile from 125.9M to 131.5M VMEM —
+        # past the 128M physical ceiling.
+        lossc_sum[0] = lossc_sum[0] + e["loss_c"]
+        lossf_sum[0] = lossf_sum[0] + e["loss_f"]
+        both = e["grads_f"]
+        if e["grads_c"] is not None:
+            both = jax.tree.map(jnp.add, both, e["grads_c"])
+        acc[0] = (
+            both if acc[0] is None
+            else jax.tree.map(jnp.add, acc[0], both)
+        )
+        e.clear()
+
+    phases = [p1_coarse_fwd, p2_comp_resample_encode, p3_fine_fwd,
+              p4_union, p5_fine_bwd, p6_coarse_bwd, p7_accumulate]
+    envs = [{"s": sl} for sl in range(splits)]
+    if "skew" in ablate:
+        # Software-pipelined schedule (slice s+1 one phase behind s):
+        # measured ~equal to slice-major at 16-ray tiles (15.76 vs
+        # 15.85 ms/step) and VMEM-infeasible at 32-ray tiles (181.7M —
+        # two slices of both chains in flight); kept for the record.
+        for wave in range(len(phases) + splits - 1):
+            for sl in range(splits):
+                k = wave - sl
+                if 0 <= k < len(phases):
+                    phases[k](envs[sl])
+    else:
+        for e in envs:
+            for ph in phases:
+                ph(e)
+    acc = acc[0]
+    lossc_ref[...] += lossc_sum[0]
+    lossf_ref[...] += lossf_sum[0]
     for name, ref in flat_refs.items():
         ref[...] += acc[name]
     for i in range(w["b"].shape[0]):
@@ -722,7 +792,7 @@ def mega_train_loss_and_grads(
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
-        compiler_params=_VMEM_LIMIT,
+        compiler_params=_MEGA_VMEM_LIMIT,
     )(xc_enc, *d_ops, aux_c, t_coarse, u, noise_f, aux_r, enc, is_cos,
       *weights)
 
