@@ -214,11 +214,18 @@ class ClassicNeRF:
             from nerf_tpu.ops.pallas import fused_mlp
 
             if fused_mlp.supports_classic_config(self.cfg):
+                # Cast at the ENCODING PRODUCER (the kernel wrapper's own
+                # cast becomes a no-op): adjacent to the sine fusion XLA
+                # folds the convert in, while at the kernel boundary it
+                # materializes a standalone f32->bf16 layout copy plus
+                # the full f32 encoding round trip (~15 ms/frame at
+                # 400x400x(64+128)).
+                dt = jnp.dtype(self.cfg.compute_dtype)
                 density, color = fused_mlp.classic_mlp_pallas(
                     params,
-                    x_enc,
-                    d_enc,
-                    compute_dtype=jnp.dtype(self.cfg.compute_dtype),
+                    x_enc.astype(dt),
+                    None if d_enc is None else d_enc.astype(dt),
+                    compute_dtype=dt,
                 )
                 return points, density, color
         density, color = mlp_lib.apply_classic_mlp(params, self.cfg, x_enc, d_enc)
@@ -340,10 +347,15 @@ class ClassicNeRF:
                     rays_o[..., None, :]
                     + rays_d[..., None, :] * t_fine[..., :, None]
                 )
+                # Cast to the kernel's compute dtype RIGHT AT the sine
+                # producer: left to the kernel wrapper, XLA materializes
+                # the convert as a standalone [B*Sf, XE] layout copy
+                # (~10 ms/frame at 400x400x128) instead of fusing it
+                # into the encoding fusion.
                 xf_enc = self.encode_position(
                     points_f,
                     None if states_x is None else states_x[..., None, :],
-                )
+                ).astype(jnp.dtype(self.cfg.compute_dtype))
                 # Per-ray dir encodings: the kernel broadcasts to sample
                 # rows itself (directions are constant along a ray).
                 df_ray = (

@@ -229,6 +229,39 @@ def frequency_scales_np(size: int, bbox_max_abs: float):
     return _SCALES_CACHE[key]
 
 
+def frequency_placement(size: int, bbox_max_abs: float, dims: int = 3):
+    """Lane-placement constants for the FLAT frequency encoder: numpy
+    ``(S [dims, dims*size], is_cos [1, dims*size])`` where row ``c``
+    carries the ``size//2`` cached scales duplicated into scalar ``c``'s
+    sin and cos lane blocks (``frequency_encoding``'s [sin(L), cos(L)]
+    per-scalar layout).  Consumed by the fused kernels' in-kernel
+    encoders (``ops/pallas/fused_mega``).  An XLA-side flat encoder
+    built from these placements was tried for the eval path and
+    REJECTED on measurement: the lane-select form evaluates both
+    transcendentals full-width (479 ms/frame) and the per-scalar
+    lane-concat form runs the sines at 10/128 lane utilization
+    (745 ms/frame) — both worse than frequency_encoding's sample-axis
+    vectorization plus the {0,1}->{1,0} transpose copies it forces at
+    Pallas operand boundaries (425 ms/frame; ROOFLINE.md section 2)."""
+    import numpy as np
+
+    key = (int(size), float(bbox_max_abs), int(dims))
+    if key not in _PLACEMENT_CACHE:
+        L = size // 2
+        f = frequency_scales_np(size, bbox_max_abs)
+        S = np.zeros((dims, dims * size), np.float32)
+        is_cos = np.zeros((1, dims * size), np.float32)
+        for c in range(dims):
+            S[c, c * size : c * size + L] = f
+            S[c, c * size + L : c * size + 2 * L] = f
+            is_cos[0, c * size + L : c * size + 2 * L] = 1.0
+        _PLACEMENT_CACHE[key] = (S, is_cos)
+    return _PLACEMENT_CACHE[key]
+
+
+_PLACEMENT_CACHE: dict = {}
+
+
 def frequency_encoding(x: Array, frequency_scales: Array) -> Array:
     """Classic per-scalar sin/cos frequency encoding.
 

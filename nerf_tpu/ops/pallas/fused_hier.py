@@ -584,9 +584,10 @@ def fine_union_eval_pallas(
     ``[B*Sf, DE]`` pre-broadcast slab from HBM (~1.5 GB/frame at
     400x400x(64+128)).
 
-    ``splits``/``tile_rows`` override the tile geometry (the sweep hooks
-    for ``scripts/eval_tile_sweep.py``); defaults are the measured
-    optimum (one slice per double-size tile).
+    ``splits``/``tile_rows`` override the tile geometry (the sweep
+    hooks); the defaults are the round-5 swept optimum — double-size
+    tiles with TWO slices (423.6 vs 426.8 ms/frame single-slice;
+    4096/8192-row tiles measured 464+ ms).
 
     Returns ``(rgb [B, C], depth [B], acc [B])`` over the union.
     """
@@ -608,7 +609,7 @@ def fine_union_eval_pallas(
         tile_rows=2 * TILE_F if tile_rows is None else tile_rows,
     )
     if splits is None:
-        splits = 1
+        splits = 2 if (r % 2 == 0 and (r // 2) * s_fine % 8 == 0) else 1
     grid = n_rays // r
     tile_f, tile_c = r * s_fine, r * s_coarse
 

@@ -242,24 +242,14 @@ def _encode_fine(t_fine, o3, d3, enc, is_cos, rays_sl, s_fine,
     return jnp.sin(xf + is_cos * jnp.float32(np.pi / 2.0))
 
 
-@functools.lru_cache(maxsize=8)
 def _enc_placement(size: int, bound: float):
-    """Static (enc [3, 3*size], is_cos [1, 3*size]) numpy constants whose
-    nonzero values are EXACTLY ``encoding.bbox_frequency_scales(size,
-    bound)`` laid out per ``frequency_encoding``'s [sin(L), cos(L)]
-    per-scalar blocks (the scales are numpy-computed constants — safe to
-    materialize inside a trace) and cached."""
+    """The shared lane-placement constants (``encoding.
+    frequency_placement``): nonzero values are exactly the cached
+    frequency scales laid out per ``frequency_encoding``'s
+    [sin(L), cos(L)] per-scalar blocks."""
     from nerf_tpu.ops import encoding
 
-    L = size // 2
-    f = encoding.frequency_scales_np(size, bound)
-    enc = np.zeros((3, 3 * size), np.float32)
-    is_cos = np.zeros((1, 3 * size), np.float32)
-    for c in range(3):
-        enc[c, c * size : c * size + L] = f
-        enc[c, c * size + L : c * size + 2 * L] = f
-        is_cos[0, c * size + L : c * size + 2 * L] = 1.0
-    return enc, is_cos
+    return encoding.frequency_placement(size, bound, dims=3)
 
 
 def _mega_kernel(*refs, compute_dtype, s_coarse, s_fine, cols, g_scale,
