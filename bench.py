@@ -112,7 +112,7 @@ def _bench_eval_render(model) -> float:
     pose_o, pose_r = spherical_poses(1, radius=4.0)
     render = RenderConfig(
         num_coarse_samples=64, num_fine_samples=128, near=2.0, far=6.0,
-        randomly_sample=False, density_noise_std=0.0, rays_per_tile=2048,
+        randomly_sample=False, density_noise_std=0.0,
     )
 
     def frames(n):

@@ -135,10 +135,13 @@ class RenderConfig:
     # Rays per on-chip tile for full-image rendering (replaces the
     # reference's Python chunk loop at model.py:750-761 with lax.map tiles).
     # Swept on a v5e chip for the 400x400 64+128 hierarchical render:
-    # ~2k rays/tile keeps the dense sample-merge working set small enough
-    # for XLA to stay on its fused (not loop) strategy — 241k rays/s vs
-    # 124k at 20k rays/tile.
-    rays_per_tile: int = 2048
+    # Round-5 chip sweep (scripts/eval_tile_sweep.py, 400x400 64+128
+    # fused union eval): 2048/3200/4000/6400/8000 rays per tile ran
+    # 425.8/417.9/415.7/429.3/453.2 ms/frame — the old 2048 optimum
+    # predates the in-kernel union work; 4000 is the round-5 optimum.
+    # Much larger tiles still push XLA's dense sample-merge onto its
+    # slow loop strategy (124k rays/s at 20k rays/tile, round 1).
+    rays_per_tile: int = 4000
     white_background: bool = False
     use_ndc: bool = False
     # Hierarchical fine stage: reuse the coarse MLP outputs and evaluate the

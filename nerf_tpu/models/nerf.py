@@ -707,6 +707,9 @@ def _tiled_over_rays(
     states_x = expand_states(states_x)
     states_d = expand_states(states_d)
 
+    # Small images never pad past their own (16-aligned) ray count — a
+    # 16x16 render must not become one 4000-ray tile.
+    rays_per_tile = min(rays_per_tile, max(16, -(-n_rays // 16) * 16))
     num_tiles = max(1, -(-n_rays // rays_per_tile))
     padded = num_tiles * rays_per_tile
     pad = padded - n_rays
